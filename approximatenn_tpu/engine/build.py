@@ -1,0 +1,181 @@
+"""Index build — the TPU-native ``precomp``.
+
+Pipeline (role of ``precomp``, ``/root/reference/alg.c:342-434``):
+
+1. mean-center points (``alg.c:360-369``) — one fused reduce + broadcast;
+2. sample ``tries`` random orthogonal transforms (``alg.c:387-392``) from a
+   JAX PRNG key and materialize their bases;
+3. hash all points for all tables with ONE MXU matmul
+   ``(n, d) @ (d, tries*d_short)`` + sign packing — the reference instead
+   replays the O(d log d) transform chain per try (``run_initial``,
+   ``alg.c:154-183``); the two are equivalent (``save_vecs`` proves it) and
+   the matmul form keeps the MXU busy and makes build and query codes
+   bitwise consistent;
+4. bucket tables per try, multiprobe candidates, per-try top-k
+   (``second_half``, ``alg.c:245-290``);
+5. cross-try merge + supercharge graph refinement + final top-k
+   (``det_results``, ``alg.c:303-337``).
+
+The only host sync is reading the max bucket occupancy ``tmax``
+(``alg.c:257-260``) unless an explicit static ``capacity`` is supplied, in
+which case the whole build is a single jittable function.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..config import itype
+from ..index import ANNIndex
+from ..ops.buckets import bucket_counts, build_tables, multiprobe_gather
+from ..ops.distance import blocked_over_rows, candidate_dists, pick_block
+from ..ops.hash import pack_signs
+from ..ops.topk import dedup_topk
+from ..ops.transforms import (
+    derive_dims,
+    materialize_bases,
+    sample_ortho_params_batch,
+)
+
+
+@partial(jax.jit, static_argnames=("d_short", "tries", "rb", "rlb", "ra", "rla", "dtype"))
+def _hash_stage(points, key, *, d_short, tries, rb, rlb, ra, rla, dtype):
+    """Stage 1: center, sample transforms, materialize bases, hash.
+
+    Returns (row_means, bases, codes (tries, n), counts (tries, 2^ds))."""
+    n, d = points.shape
+    points = points.astype(dtype)
+    row_means = jnp.mean(points, axis=0)
+    xc = points - row_means
+    _, d_max = derive_dims(n, 1, d)  # d_max depends only on d
+    params = sample_ortho_params_batch(key, tries, d, d_max, rb, rlb, ra, rla, dtype)
+    bases = materialize_bases(params, d, d_short, dtype)  # (tries, ds, d)
+    if d_short:
+        proj = xc @ bases.reshape(tries * d_short, d).T  # one MXU matmul
+        codes = pack_signs(proj.reshape(n, tries, d_short)).T  # (tries, n)
+    else:
+        codes = jnp.zeros((tries, n), itype)
+    counts = jax.vmap(lambda c: bucket_counts(c, 1 << d_short))(codes)
+    return row_means, bases, codes, counts
+
+
+@partial(jax.jit, static_argnames=("k", "d_short", "tmax", "block_rows"))
+def _graph_stage(points, codes, counts, *, k, d_short, tmax, block_rows):
+    """Stage 2 (static tmax): bucket tables, per-try candidates + top-k,
+    merge, supercharge, final graph.  Distances are on raw coordinates
+    (``alg.c:410-411``)."""
+    n = points.shape[0]
+    tries = codes.shape[0]
+    nb = 1 << d_short
+    tables = build_tables(codes, nb, tmax, n)
+    rows_all = jnp.arange(n, dtype=itype)
+
+    # --- per-try multiprobe + top-k (role of second_half, alg.c:245-290) ---
+    def per_table(_, xs):
+        table, tcodes = xs
+
+        def stage(qb, rows, cb):
+            cand = multiprobe_gather(table, cb, d_short)
+            dd = candidate_dists(qb, points, cand, exclude_self=rows)
+            return dedup_topk(cand, dd, k, n)
+
+        ids_k, d_k = blocked_over_rows(
+            stage, n, block_rows, points, rows_all, tcodes,
+            pad_values=(0.0, -1, 0),
+        )
+        return None, (ids_k, d_k)
+
+    _, (tids, tdists) = jax.lax.scan(per_table, None, (tables, codes))
+
+    # --- cross-try merge (det_results first half, alg.c:303-315) ---
+    cand1 = jnp.moveaxis(tids, 0, 1).reshape(n, tries * k)
+    d1 = jnp.moveaxis(tdists, 0, 1).reshape(n, tries * k)
+    g1, gd1 = dedup_topk(cand1, d1, k, n)
+
+    # --- supercharge (alg.c:316-327; kernel compute.cl:252-263) ---
+    # During build the expansion source is the merged top-k itself
+    # (pointers == graph branch, alg.c:316).
+    def final_stage(g1b, gd1b, rows):
+        safe = jnp.where(g1b < n, g1b, 0)
+        exp = jnp.where((g1b < n)[..., None], g1[safe], n)  # (B, k, k)
+        cand = jnp.concatenate([g1b, exp.reshape(-1, k * k)], axis=-1)
+        dd_exp = candidate_dists(
+            points[jnp.where(rows >= 0, rows, 0)],
+            points,
+            exp.reshape(-1, k * k),
+            exclude_self=rows,
+        )
+        dd = jnp.concatenate([gd1b, dd_exp], axis=-1)
+        return dedup_topk(cand, dd, k, n)
+
+    graph, gdists = blocked_over_rows(
+        final_stage, n, block_rows, g1, gd1, rows_all,
+        pad_values=(0, jnp.inf, -1),
+    )
+    return tables, graph, gdists
+
+
+def build(
+    points,
+    k: int,
+    *,
+    tries: int = 10,
+    rots_before: int = 6,
+    rot_len_before: int = 1,
+    rots_after: int = 1,
+    rot_len_after: int = 1,
+    key=None,
+    seed: int = 0,
+    dtype=None,
+    capacity: int | None = None,
+    budget_bytes: int = 128 << 20,
+) -> tuple[ANNIndex, jax.Array, jax.Array]:
+    """Build an index over ``points`` (n, d); returns (index, graph, dists).
+
+    Mirrors ``precomp`` (``ann.h:46-49``) with the save always produced (the
+    reference's save=NULL fast path is :func:`build_graph_only`).
+    ``capacity`` pins the bucket capacity for a sync-free, fully-jittable
+    build (overflow dropped); None reads the exact max occupancy back once,
+    as the reference's host histogram does (``alg.c:252-266``).
+    """
+    n, d = points.shape
+    if n >= 2**31:
+        raise ValueError("n must fit in int32")
+    dtype = dtype or config.ftype()
+    if key is None:
+        key = jax.random.key(seed)
+    d_short, _ = derive_dims(n, k, d)
+    if d_short > 28:
+        raise ValueError(f"d_short={d_short} too large (bucket table 2^{d_short})")
+
+    row_means, bases, codes, counts = _hash_stage(
+        points, key,
+        d_short=d_short, tries=tries, rb=rots_before, rlb=rot_len_before,
+        ra=rots_after, rla=rot_len_after, dtype=dtype,
+    )
+    tmax = int(counts.max()) if capacity is None else int(capacity)
+    tmax = max(tmax, 1)
+    block_rows = pick_block(
+        n, (d_short + 1) * tmax, d, jnp.dtype(dtype).itemsize, budget_bytes
+    )
+    points_f = jnp.asarray(points, dtype)
+    tables, graph, gdists = _graph_stage(
+        points_f, codes, counts, k=k, d_short=d_short, tmax=tmax,
+        block_rows=block_rows,
+    )
+    index = ANNIndex(
+        row_means=row_means, bases=bases, tables=tables, counts=counts,
+        graph=graph, n=n, k=k, d=d, d_short=d_short, tries=tries, tmax=tmax,
+    )
+    return index, graph, gdists
+
+
+def build_graph_only(points, k: int, **kw) -> tuple[jax.Array, jax.Array]:
+    """kNN graph without keeping the index (reference save=NULL path,
+    ``ann.c:13-23`` with ``save == NULL``)."""
+    _, graph, gdists = build(points, k, **kw)
+    return graph, gdists

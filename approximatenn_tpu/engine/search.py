@@ -1,0 +1,91 @@
+"""Batch query — the TPU-native ``query``.
+
+Pipeline (role of ``query``, ``/root/reference/alg.c:458-519``):
+
+1. center queries by the stored row means (``alg.c:462-466``);
+2. project against ALL tables' bases in one MXU matmul
+   ``(m, d) @ (d, tries*d_short)`` (the reference's ``prods`` +
+   ``add_up_cols``, ``alg.c:468-481``) and pack sign codes;
+3. multiprobe-gather candidates from every table (``shufcomp`` +
+   ``compute_which``, ``alg.c:495-500``);
+4. distances on raw coordinates, dedup, top-k, supercharge through the
+   stored kNN graph, final top-k (``det_results``, ``alg.c:303-337``).
+
+Everything after step 1 is a single jitted, row-blocked computation with
+static shapes taken from the index.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import itype
+from ..index import ANNIndex
+from ..ops.distance import blocked_over_rows, candidate_dists, pick_block
+from ..ops.hash import pack_signs, probe_codes
+from ..ops.topk import dedup_topk
+
+
+@partial(jax.jit, static_argnames=("block_rows",))
+def _search_jit(index: ANNIndex, points, queries, block_rows: int):
+    n, k, d_short, tries, tmax = (
+        index.n, index.k, index.d_short, index.tries, index.tmax,
+    )
+    dtype = index.bases.dtype
+    m, d = queries.shape
+    q = queries.astype(dtype)
+    yc = q - index.row_means
+    if d_short:
+        proj = yc @ index.bases.reshape(tries * d_short, d).T
+        codes = pack_signs(proj.reshape(m, tries, d_short))  # (m, tries)
+    else:
+        codes = jnp.zeros((m, tries), itype)
+
+    table_idx = jnp.arange(tries, dtype=itype)[None, :, None]
+
+    def stage(qb, cb):
+        # multiprobe gather across all tables: (B, tries, ds+1, tmax)
+        probes = probe_codes(cb, d_short)  # (B, tries, ds+1)
+        cand = index.tables[table_idx, probes]
+        cand = cand.reshape(cand.shape[0], -1)  # (B, tries*(ds+1)*tmax)
+        dd = candidate_dists(qb, points, cand)
+        t1, td1 = dedup_topk(cand, dd, k, n)
+        # supercharge via the stored graph (alg.c:507-512)
+        safe = jnp.where(t1 < n, t1, 0)
+        exp = jnp.where((t1 < n)[..., None], index.graph[safe], n)
+        cand2 = jnp.concatenate([t1, exp.reshape(-1, k * k)], axis=-1)
+        dd2 = candidate_dists(qb, points, exp.reshape(-1, k * k))
+        dd2 = jnp.concatenate([td1, dd2], axis=-1)
+        return dedup_topk(cand2, dd2, k, n)
+
+    return blocked_over_rows(
+        stage, m, block_rows, q, codes, pad_values=(0.0, 0)
+    )
+
+
+def search(
+    index: ANNIndex,
+    points,
+    queries,
+    *,
+    budget_bytes: int = 128 << 20,
+    block_rows: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Find the k approximate nearest neighbors of each query.
+
+    Mirrors ``query`` (``ann.h:61-62``): ``points`` must be the same array
+    the index was built over (the index stores ids, not vectors).  Returns
+    (ids (m, k) int32 with sentinel n padding, squared distances (m, k)).
+    """
+    m = queries.shape[0]
+    if block_rows is None:
+        ltot = index.tries * (index.d_short + 1) * index.tmax
+        block_rows = pick_block(
+            m, ltot, index.d, jnp.dtype(index.bases.dtype).itemsize, budget_bytes
+        )
+    points = jnp.asarray(points, index.bases.dtype)
+    queries = jnp.asarray(queries, index.bases.dtype)
+    return _search_jit(index, points, queries, block_rows)
