@@ -42,29 +42,41 @@ from ..ops.transforms import (
 )
 
 
-@partial(jax.jit, static_argnames=("d_short", "tries", "rb", "rlb", "ra", "rla", "dtype"))
-def _hash_stage(points, key, *, d_short, tries, rb, rlb, ra, rla, dtype):
+def sample_bases(key, d, d_short, tries, rb, rlb, ra, rla, dtype):
+    """Sample `tries` transforms and materialize their bases
+    (``alg.c:387-392`` + ``save_vecs``)."""
+    _, d_max = derive_dims(2, 1, d)  # d_max depends only on d
+    params = sample_ortho_params_batch(key, tries, d, d_max, rb, rlb, ra, rla, dtype)
+    return materialize_bases(params, d, d_short, dtype)  # (tries, ds, d)
+
+
+def hash_points(xc, bases):
+    """Sign-hash centered points against all tables at once: one MXU matmul
+    + sign packing.  Returns codes (tries, n) int32."""
+    n, d = xc.shape
+    tries, d_short = bases.shape[0], bases.shape[1]
+    if d_short == 0:
+        return jnp.zeros((tries, n), itype)
+    proj = xc @ bases.reshape(tries * d_short, d).T
+    return pack_signs(proj.reshape(n, tries, d_short)).T
+
+
+def hash_stage(points, key, *, d_short, tries, rb, rlb, ra, rla, dtype):
     """Stage 1: center, sample transforms, materialize bases, hash.
 
     Returns (row_means, bases, codes (tries, n), counts (tries, 2^ds))."""
-    n, d = points.shape
     points = points.astype(dtype)
     row_means = jnp.mean(points, axis=0)
-    xc = points - row_means
-    _, d_max = derive_dims(n, 1, d)  # d_max depends only on d
-    params = sample_ortho_params_batch(key, tries, d, d_max, rb, rlb, ra, rla, dtype)
-    bases = materialize_bases(params, d, d_short, dtype)  # (tries, ds, d)
-    if d_short:
-        proj = xc @ bases.reshape(tries * d_short, d).T  # one MXU matmul
-        codes = pack_signs(proj.reshape(n, tries, d_short)).T  # (tries, n)
-    else:
-        codes = jnp.zeros((tries, n), itype)
+    bases = sample_bases(key, points.shape[1], d_short, tries, rb, rlb, ra, rla, dtype)
+    codes = hash_points(points - row_means, bases)
     counts = jax.vmap(lambda c: bucket_counts(c, 1 << d_short))(codes)
     return row_means, bases, codes, counts
 
 
-@partial(jax.jit, static_argnames=("k", "d_short", "tmax", "block_rows"))
-def _graph_stage(points, codes, counts, *, k, d_short, tmax, block_rows):
+_hash_stage = partial(jax.jit, static_argnames=("d_short", "tries", "rb", "rlb", "ra", "rla", "dtype"))(hash_stage)
+
+
+def graph_stage(points, codes, counts, *, k, d_short, tmax, block_rows):
     """Stage 2 (static tmax): bucket tables, per-try candidates + top-k,
     merge, supercharge, final graph.  Distances are on raw coordinates
     (``alg.c:410-411``)."""
@@ -117,6 +129,9 @@ def _graph_stage(points, codes, counts, *, k, d_short, tmax, block_rows):
         pad_values=(0, jnp.inf, -1),
     )
     return tables, graph, gdists
+
+
+_graph_stage = partial(jax.jit, static_argnames=("k", "d_short", "tmax", "block_rows"))(graph_stage)
 
 
 def build(

@@ -29,8 +29,7 @@ from ..ops.hash import pack_signs, probe_codes
 from ..ops.topk import dedup_topk
 
 
-@partial(jax.jit, static_argnames=("block_rows",))
-def _search_jit(index: ANNIndex, points, queries, block_rows: int):
+def search_impl(index: ANNIndex, points, queries, block_rows: int):
     n, k, d_short, tries, tmax = (
         index.n, index.k, index.d_short, index.tries, index.tmax,
     )
@@ -64,6 +63,9 @@ def _search_jit(index: ANNIndex, points, queries, block_rows: int):
     return blocked_over_rows(
         stage, m, block_rows, q, codes, pad_values=(0.0, 0)
     )
+
+
+_search_jit = partial(jax.jit, static_argnames=("block_rows",))(search_impl)
 
 
 def search(

@@ -33,7 +33,11 @@ def dedup_topk(
     padded with (sentinel, +inf), mirroring the reference's behaviour of
     returning sentinel-id entries when candidates run out.
     """
-    sid, sdist = jax.lax.sort((ids, dists), dimension=-1, num_keys=1)
+    # two sort keys: id then distance, so the surviving copy of each id is
+    # its minimum distance (in the pipeline duplicates always carry equal
+    # distances, making this exactly the reference's semantics; with unequal
+    # distances this is the strictly-better choice).
+    sid, sdist = jax.lax.sort((ids, dists), dimension=-1, num_keys=2)
     prev = jnp.concatenate(
         [jnp.full(sid.shape[:-1] + (1,), -1, sid.dtype), sid[..., :-1]], axis=-1
     )

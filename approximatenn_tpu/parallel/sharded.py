@@ -1,0 +1,264 @@
+"""Distributed (multi-chip) index build and query.
+
+The reference has no distributed layer at all (SURVEY.md §2.3); its scale
+axis — dataset size n — caps out at single-device memory.  This module is
+the mandated TPU-native replacement: points, bucket tables, and the kNN
+graph are row-sharded over a ``jax.sharding.Mesh``; queries are replicated;
+each shard searches its local sub-index and the per-shard top-k are merged
+with one ``all_gather`` over ICI followed by a final top-k.  Because every
+point lives on exactly one shard, global ids are unique across shards and
+the merge needs no dedup.
+
+Design (SURVEY.md §7.4): shard points, build fully independent per-shard
+tables/graphs (local bucket statistics — tmax/recall differ slightly from a
+global build; gated by tests), fan queries out, merge.  The exact-merge
+property holds for the final k-NN of whatever candidates each shard
+produces: distributed recall ≈ single-device recall, and distributed
+*exact* search (``search_exact_sharded``) equals global brute force
+bit-for-bit in id-set terms.
+
+All functions also run unsharded on a 1-device mesh, and on a CPU mesh via
+``--xla_force_host_platform_device_count`` (how the tests and the driver's
+``dryrun_multichip`` validate them without a TPU pod).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import itype
+from ..engine.build import graph_stage, hash_points, sample_bases
+from ..engine.search import search_impl
+from ..index import ANNIndex
+from ..ops.buckets import bucket_counts
+from ..ops.distance import pick_block
+from ..ops.topk import topk_no_dedup
+
+AXIS = "shards"
+
+
+def make_mesh(n_devices: int | None = None, axis: str = AXIS) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedIndex:
+    """Per-shard sub-indexes, stacked on a leading shard axis.
+
+    ``tables``/``graph`` hold *local* ids in [0, n_local] with sentinel
+    n_local; ``offsets[s] = s * n_local`` maps them to global ids."""
+
+    row_means: Any  # (d,) replicated
+    bases: Any  # (tries, d_short, d) replicated
+    tables: Any  # (S, tries, 2^ds, tmax) sharded on axis 0
+    counts: Any  # (S, tries, 2^ds)
+    graph: Any  # (S, n_local, k) local ids
+    n: int = dataclasses.field(metadata=dict(static=True))
+    n_local: int = dataclasses.field(metadata=dict(static=True))
+    k: int = dataclasses.field(metadata=dict(static=True))
+    d: int = dataclasses.field(metadata=dict(static=True))
+    d_short: int = dataclasses.field(metadata=dict(static=True))
+    tries: int = dataclasses.field(metadata=dict(static=True))
+    tmax: int = dataclasses.field(metadata=dict(static=True))
+    n_shards: int = dataclasses.field(metadata=dict(static=True))
+
+    def local_index(self, tables, counts, graph) -> ANNIndex:
+        """View one shard's arrays as a standalone ANNIndex over its slice."""
+        return ANNIndex(
+            row_means=self.row_means, bases=self.bases, tables=tables,
+            counts=counts, graph=graph, n=self.n_local, k=self.k, d=self.d,
+            d_short=self.d_short, tries=self.tries, tmax=self.tmax,
+        )
+
+
+def _shard_points(points, mesh):
+    s = mesh.shape[AXIS]
+    n = points.shape[0]
+    if n % s:
+        raise ValueError(f"n={n} must be divisible by shard count {s} (pad upstream)")
+    return jax.device_put(points, NamedSharding(mesh, P(AXIS, None)))
+
+
+def build_sharded(
+    points,
+    k: int,
+    *,
+    mesh: Mesh,
+    tries: int = 10,
+    rots_before: int = 6,
+    rot_len_before: int = 1,
+    rots_after: int = 1,
+    rot_len_after: int = 1,
+    key=None,
+    seed: int = 0,
+    dtype=jnp.float32,
+    capacity: int | None = None,
+    budget_bytes: int = 128 << 20,
+) -> ShardedIndex:
+    """Distributed index build (TPU-native ``precomp`` at pod scale).
+
+    Points are row-sharded; the mean is a global ``psum``; transform
+    parameters are sampled once from ``key`` and replicated so all shards
+    hash consistently; each shard builds tables + kNN graph over its slice.
+    """
+    from ..ops.transforms import derive_dims
+
+    s = mesh.shape[AXIS]
+    n, d = points.shape
+    points = _shard_points(jnp.asarray(points, dtype), mesh)
+    n_local = n // s
+    # bucket statistics follow the *local* slice size (per-shard tables)
+    d_short, _ = derive_dims(n_local, k, d)
+    if key is None:
+        key = jax.random.key(seed)
+    bases = sample_bases(
+        key, d, d_short, tries, rots_before, rot_len_before,
+        rots_after, rot_len_after, dtype,
+    )
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(AXIS, None), P(None, None, None)),
+        out_specs=(P(None), P(AXIS, None), P(AXIS, None, None)),
+    )
+    def stage_a(pts_l, bases_r):
+        mu = jax.lax.psum(jnp.sum(pts_l, axis=0), AXIS) / n
+        codes = hash_points(pts_l - mu, bases_r)  # (tries, n_local)
+        counts = jax.vmap(lambda c: bucket_counts(c, 1 << d_short))(codes)
+        return mu, codes.T, counts[None]
+
+    row_means, codes_g, counts = stage_a(points, bases)
+    tmax = int(counts.max()) if capacity is None else int(capacity)
+    tmax = max(tmax, 1)
+    block_rows = pick_block(
+        n_local, (d_short + 1) * tmax, d, jnp.dtype(dtype).itemsize, budget_bytes
+    )
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None, None)),
+        out_specs=(P(AXIS, None, None, None), P(AXIS, None, None)),
+    )
+    def stage_b(pts_l, codes_l, counts_l):
+        tables, graph, _ = graph_stage(
+            pts_l, codes_l.T, counts_l[0], k=k, d_short=d_short, tmax=tmax,
+            block_rows=block_rows,
+        )
+        return tables[None], graph[None]
+
+    tables, graph = stage_b(points, codes_g, counts)
+    return ShardedIndex(
+        row_means=row_means, bases=bases, tables=tables, counts=counts,
+        graph=graph, n=n, n_local=n_local, k=k, d=d, d_short=d_short,
+        tries=tries, tmax=tmax, n_shards=s,
+    )
+
+
+def _to_global(ids_l, dists, n_local, n, offset):
+    g = jnp.where(ids_l < n_local, ids_l + offset, n).astype(itype)
+    return g, jnp.where(ids_l < n_local, dists, jnp.inf)
+
+
+def search_sharded(
+    sidx: ShardedIndex,
+    points,
+    queries,
+    *,
+    mesh: Mesh,
+    budget_bytes: int = 128 << 20,
+    block_rows: int | None = None,
+):
+    """Distributed batch query: replicate queries, per-shard local search,
+    ``all_gather`` the per-shard top-k over ICI, final merge top-k
+    (SURVEY.md §2.3 mandated collective pattern).  Returns global ids."""
+    k, n_local, n = sidx.k, sidx.n_local, sidx.n
+    m = queries.shape[0]
+    if block_rows is None:
+        ltot = sidx.tries * (sidx.d_short + 1) * sidx.tmax
+        block_rows = pick_block(m, ltot, sidx.d, 4, budget_bytes)
+    points = _shard_points(jnp.asarray(points, sidx.bases.dtype), mesh)
+    queries = jax.device_put(
+        jnp.asarray(queries, sidx.bases.dtype), NamedSharding(mesh, P())
+    )
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(
+            P(AXIS, None), P(),
+            P(AXIS, None, None, None), P(AXIS, None, None), P(AXIS, None, None),
+            P(None), P(None, None, None),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,  # outputs are replicated via all_gather+identical
+    )
+    def go(pts_l, y, tables_l, counts_l, graph_l, row_means, bases):
+        local = ANNIndex(
+            row_means=row_means, bases=bases, tables=tables_l[0],
+            counts=counts_l[0], graph=graph_l[0], n=n_local, k=k, d=sidx.d,
+            d_short=sidx.d_short, tries=sidx.tries, tmax=sidx.tmax,
+        )
+        ids_l, dd = search_impl(local, pts_l, y, block_rows)
+        offset = jax.lax.axis_index(AXIS).astype(itype) * n_local
+        gids, dd = _to_global(ids_l, dd, n_local, n, offset)
+        all_ids = jax.lax.all_gather(gids, AXIS)  # (S, m, k)
+        all_dd = jax.lax.all_gather(dd, AXIS)
+        s = all_ids.shape[0]
+        all_ids = jnp.moveaxis(all_ids, 0, 1).reshape(m, s * k)
+        all_dd = jnp.moveaxis(all_dd, 0, 1).reshape(m, s * k)
+        return topk_no_dedup(all_dd, all_ids, k)
+
+    return go(
+        points, queries, sidx.tables, sidx.counts, sidx.graph,
+        sidx.row_means, sidx.bases,
+    )
+
+
+def search_exact_sharded(points, queries, k: int, *, mesh: Mesh, block: int = 1024):
+    """Distributed exact kNN: per-shard brute force + all_gather merge.
+    Equals global brute force exactly (each shard's local top-k contains
+    every true global top-k member residing on that shard)."""
+    from ..ops.distance import brute_force_knn
+
+    n = points.shape[0]
+    s = mesh.shape[AXIS]
+    n_local = n // s
+    points = _shard_points(jnp.asarray(points), mesh)
+    queries = jax.device_put(jnp.asarray(queries), NamedSharding(mesh, P()))
+    kk = min(k, n_local)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(AXIS, None), P()),
+             out_specs=(P(), P()), check_vma=False)
+    def go(pts_l, y):
+        ids_l, dd = brute_force_knn(pts_l, y, kk, block=min(block, y.shape[0]))
+        offset = jax.lax.axis_index(AXIS).astype(itype) * n_local
+        gids, dd = _to_global(ids_l.astype(itype), dd, n_local, n, offset)
+        all_ids = jnp.moveaxis(jax.lax.all_gather(gids, AXIS), 0, 1).reshape(y.shape[0], -1)
+        all_dd = jnp.moveaxis(jax.lax.all_gather(dd, AXIS), 0, 1).reshape(y.shape[0], -1)
+        return topk_no_dedup(all_dd, all_ids, k)
+
+    return go(points, queries)
+
+
+def global_graph_sharded(sidx: ShardedIndex, points, *, mesh: Mesh, **kw):
+    """Approximate global kNN graph from a sharded index: query all points
+    against every shard and merge — the distributed analogue of the
+    reference's precomp output (its graph is single-device only)."""
+    ids, dd = search_sharded(sidx, points, points, mesh=mesh, **kw)
+    # drop self-matches (distance 0 to itself always wins otherwise)
+    n = sidx.n
+    m = points.shape[0]
+    self_mask = ids == jnp.arange(m, dtype=itype)[:, None]
+    dd = jnp.where(self_mask, jnp.inf, dd)
+    ids = jnp.where(self_mask, n, ids)
+    return topk_no_dedup(dd, ids, sidx.k)

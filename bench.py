@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched ANN query throughput on one TPU chip.
+
+Prints ONE JSON line:
+    {"metric": "query_qps", "value": N, "unit": "queries/sec",
+     "vs_baseline": R, ...}
+
+Config: n=20,000 Gaussian points, d=128, k=10, tries=10, batch=1000 —
+the largest operating point the single-threaded reference CPU backend can
+run in reasonable time; its measured numbers live in
+``baselines/reference_cpu.json`` (produced by ``baselines/bench_ref.c``
+linking the unmodified reference ``precomp_cpu``/``query_cpu``; the
+reference itself publishes no numbers, see BASELINE.md).  ``vs_baseline``
+is our QPS / reference-CPU QPS at the identical config.
+
+Run with no arguments on the TPU host.  ``--full`` adds build timing and a
+recall column.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+CONFIG = dict(n=20_000, d=128, k=10, tries=10, ycnt=1000)
+BASELINE_PATH = Path(__file__).parent / "baselines" / "reference_cpu.json"
+
+
+def load_baseline():
+    if BASELINE_PATH.exists():
+        for rec in json.loads(BASELINE_PATH.read_text()):
+            if (
+                rec["n"] == CONFIG["n"]
+                and rec["d"] == CONFIG["d"]
+                and rec["ycnt"] == CONFIG["ycnt"]
+            ):
+                return rec
+    return None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true", help="also report build time + recall")
+    ap.add_argument("--reps", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import approximatenn_tpu as ann
+
+    n, d, k, tries, ycnt = (
+        CONFIG["n"], CONFIG["d"], CONFIG["k"], CONFIG["tries"], CONFIG["ycnt"],
+    )
+    rng = np.random.default_rng(12345)
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Y = rng.standard_normal((ycnt, d)).astype(np.float32)
+    Xd = jnp.asarray(X)
+    Yd = jnp.asarray(Y)
+
+    t0 = time.perf_counter()
+    index, graph, _ = ann.build(Xd, k, tries=tries, seed=7)
+    jax.block_until_ready(graph)
+    build_s = time.perf_counter() - t0
+
+    # warmup (compile)
+    ids, dists = ann.search(index, Xd, Yd)
+    jax.block_until_ready((ids, dists))
+
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        out = ann.search(index, Xd, Yd)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    query_s = float(np.median(times))
+    qps = ycnt / query_s
+
+    base = load_baseline()
+    vs = qps / base["qps"] if base else None
+
+    result = {
+        "metric": "query_qps",
+        "value": round(qps, 1),
+        "unit": "queries/sec",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+        "config": CONFIG,
+        "query_s": round(query_s, 6),
+        "build_s": round(build_s, 3),
+        "device": str(jax.devices()[0]),
+    }
+    if base:
+        result["baseline_qps"] = base["qps"]
+        result["build_vs_baseline"] = round(base["build_s"] / build_s, 2)
+    if args.full:
+        tq, _ = ann.brute_force_knn(Xd, Yd, k)
+        from approximatenn_tpu.harness.scoring import recall_at_k
+
+        result["recall_at_10"] = round(
+            recall_at_k(np.asarray(tq), np.asarray(ids), k), 4
+        )
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,27 @@
+"""Test configuration: run the whole suite on a virtual 8-device CPU mesh.
+
+Multi-chip logic is validated without TPU hardware via
+``--xla_force_host_platform_device_count`` (SURVEY.md §4); the driver's
+``dryrun_multichip`` does the same.  The environment's sitecustomize imports
+jax (and pins the TPU platform) before any conftest code runs, so the
+override must go through ``jax.config`` rather than env vars.
+"""
+
+import os
+
+import jax
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(12345)

@@ -1,0 +1,169 @@
+"""End-to-end build/search gates (role of ``test_correctness.c``).
+
+Gate 1 of SURVEY.md §4: statistical correctness against the exact
+brute-force oracle at the reference's default operating point
+(n=1000, d=80, k=10, tries=10) and at BASELINE config 1 (10k x 32).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import approximatenn_tpu as ann
+from approximatenn_tpu.harness.scoring import recall_at_k, score_guesses
+
+
+@pytest.fixture(scope="module")
+def default_data():
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((1000, 80)).astype(np.float32)
+    Y = rng.standard_normal((50, 80)).astype(np.float32)
+    return X, Y
+
+
+@pytest.fixture(scope="module")
+def built(default_data):
+    X, _ = default_data
+    return ann.build(X, 10, seed=1)
+
+
+class TestBuild:
+    def test_shapes_and_meta(self, built, default_data):
+        X, _ = default_data
+        idx, graph, gd = built
+        assert graph.shape == (1000, 10) and gd.shape == (1000, 10)
+        assert idx.d_short == 7 and idx.n_buckets == 128
+        assert idx.tables.shape == (10, 128, idx.tmax)
+        assert idx.bases.shape == (10, 7, 80)
+        assert idx.graph.dtype == jnp.int32
+
+    def test_graph_excludes_self_and_in_range(self, built):
+        idx, graph, _ = built
+        g = np.asarray(graph)
+        assert not any(i in g[i] for i in range(1000))
+        assert (g >= 0).all() and (g <= 1000).all()
+
+    def test_graph_dists_are_true_sq_dists(self, built, default_data):
+        X, _ = default_data
+        idx, graph, gd = built
+        g, d = np.asarray(graph), np.asarray(gd)
+        i = 17
+        for j in range(10):
+            want = ((X[i] - X[g[i, j]]) ** 2).sum()
+            np.testing.assert_allclose(d[i, j], want, rtol=1e-4)
+
+    def test_graph_sorted_by_distance(self, built):
+        _, _, gd = built
+        d = np.asarray(gd)
+        assert (np.diff(d, axis=1) >= -1e-6).all()
+
+    def test_recall_default_point(self, built, default_data):
+        X, _ = default_data
+        _, graph, _ = built
+        s = score_guesses(X, None, np.asarray(graph), 10)
+        # the reference's own harness at this point reports ~0.85-0.95
+        assert s.prob_correct > 0.75, str(s)
+        assert s.mean_excess_rank < 10, str(s)
+
+    def test_deterministic_same_key(self, default_data):
+        X, _ = default_data
+        _, g1, _ = ann.build(X, 10, key=jax.random.key(42))
+        _, g2, _ = ann.build(X, 10, key=jax.random.key(42))
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+    def test_different_keys_differ(self, default_data):
+        X, _ = default_data
+        _, g1, _ = ann.build(X, 10, key=jax.random.key(1))
+        _, g2, _ = ann.build(X, 10, key=jax.random.key(2))
+        assert (np.asarray(g1) != np.asarray(g2)).any()
+
+
+class TestSearch:
+    def test_query_recall_default_point(self, built, default_data):
+        X, Y = default_data
+        idx, _, _ = built
+        ids, dists = ann.search(idx, X, Y)
+        s = score_guesses(X, Y, np.asarray(ids), 10)
+        assert s.prob_correct > 0.75, str(s)
+
+    def test_query_dists_sorted_and_true(self, built, default_data):
+        X, Y = default_data
+        idx, _, _ = built
+        ids, dists = ann.search(idx, X, Y)
+        ids, dists = np.asarray(ids), np.asarray(dists)
+        assert (np.diff(dists, axis=1) >= -1e-6).all()
+        for j in range(10):
+            want = ((Y[3] - X[ids[3, j]]) ** 2).sum()
+            np.testing.assert_allclose(dists[3, j], want, rtol=1e-4)
+
+    def test_block_size_invariance(self, built, default_data):
+        X, Y = default_data
+        idx, _, _ = built
+        a, _ = ann.search(idx, X, Y, block_rows=7)
+        b, _ = ann.search(idx, X, Y, block_rows=50)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_reference_api_aliases(self, default_data):
+        X, Y = default_data
+        graph, gd, idx = ann.precomp(X, 10, tries=4, seed=0)
+        assert idx is not None
+        ids, dists = ann.query(idx, X, Y)
+        assert ids.shape == (50, 10)
+        g2, _, none = ann.precomp(X, 10, tries=4, seed=0, save=False)
+        assert none is None
+        np.testing.assert_array_equal(np.asarray(graph), np.asarray(g2))
+
+
+class TestConfig1:
+    """BASELINE config 1: random Gaussian 10k x 32 float, k=10."""
+
+    def test_recall_10k_32(self):
+        rng = np.random.default_rng(99)
+        X = rng.standard_normal((10_000, 32)).astype(np.float32)
+        Y = rng.standard_normal((200, 32)).astype(np.float32)
+        idx, graph, _ = ann.build(X, 10, seed=5)
+        tg, _ = ann.brute_force_knn_self(jnp.asarray(X), 10)
+        assert recall_at_k(np.asarray(tg), np.asarray(graph), 10) > 0.6
+        ids, _ = ann.search(idx, X, Y)
+        tq, _ = ann.brute_force_knn(jnp.asarray(X), jnp.asarray(Y), 10)
+        assert recall_at_k(np.asarray(tq), np.asarray(ids), 10) > 0.6
+
+
+class TestEdgeCases:
+    def test_capacity_mode_jittable_and_close(self, default_data):
+        X, _ = default_data
+        idx_e, g_e, _ = ann.build(X, 10, seed=3)
+        idx_c, g_c, _ = ann.build(X, 10, seed=3, capacity=idx_e.tmax)
+        np.testing.assert_array_equal(np.asarray(g_e), np.asarray(g_c))
+
+    def test_small_capacity_still_works(self, default_data):
+        X, _ = default_data
+        idx, graph, _ = ann.build(X, 10, seed=3, capacity=4)
+        s = score_guesses(X, None, np.asarray(graph), 10)
+        assert s.prob_correct > 0.3  # degraded but functional
+
+    def test_n_smaller_than_buckets(self):
+        rng = np.random.default_rng(1)
+        X = rng.standard_normal((64, 16)).astype(np.float32)
+        idx, graph, _ = ann.build(X, 5, tries=3, seed=0)
+        g = np.asarray(graph)
+        assert ((g >= 0) & (g <= 64)).all()
+
+    def test_k_larger_rows_padded_with_sentinel(self):
+        rng = np.random.default_rng(2)
+        X = rng.standard_normal((30, 8)).astype(np.float32)
+        idx, graph, gd = ann.build(X, 10, tries=2, seed=0)
+        assert ((np.asarray(graph) <= 30)).all()
+
+    def test_float64(self, default_data):
+        X, _ = default_data
+        jax.config.update("jax_enable_x64", True)
+        try:
+            idx, graph, _ = ann.build(
+                X.astype(np.float64), 10, seed=1, dtype=jnp.float64
+            )
+            s = score_guesses(X, None, np.asarray(graph), 10)
+            assert s.prob_correct > 0.75
+        finally:
+            jax.config.update("jax_enable_x64", False)

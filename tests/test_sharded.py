@@ -1,0 +1,109 @@
+"""Distributed build/search tests on the 8-device CPU mesh (SURVEY.md §4:
+multi-chip logic validated via xla_force_host_platform_device_count)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import approximatenn_tpu as ann
+from approximatenn_tpu.harness.scoring import recall_at_k
+from approximatenn_tpu.parallel.sharded import (
+    build_sharded,
+    global_graph_sharded,
+    make_mesh,
+    search_exact_sharded,
+    search_sharded,
+)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((4096, 64)).astype(np.float32)
+    Y = rng.standard_normal((128, 64)).astype(np.float32)
+    return X, Y
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def sidx(data, mesh8):
+    X, _ = data
+    return build_sharded(X, 10, mesh=mesh8, seed=1)
+
+
+class TestShardedExact:
+    def test_exact_merge_equals_global_brute_force(self, data, mesh8):
+        """Per-shard exact top-k + all_gather merge == global brute force:
+        the correctness core of the distributed design."""
+        X, Y = data
+        ids, dists = search_exact_sharded(X, Y, 10, mesh=mesh8)
+        tq, td = ann.brute_force_knn(jnp.asarray(X), jnp.asarray(Y), 10)
+        assert recall_at_k(np.asarray(tq), np.asarray(ids), 10) == 1.0
+        np.testing.assert_allclose(
+            np.sort(np.asarray(dists), 1), np.sort(np.asarray(td), 1), rtol=1e-4
+        )
+
+
+class TestShardedBuild:
+    def test_shapes(self, sidx):
+        assert sidx.n_shards == 8 and sidx.n_local == 512
+        assert sidx.tables.shape[0] == 8
+        assert sidx.graph.shape == (8, 512, 10)
+
+    def test_local_graphs_in_range(self, sidx):
+        g = np.asarray(sidx.graph)
+        assert (g >= 0).all() and (g <= sidx.n_local).all()
+
+    def test_row_means_match_global_mean(self, sidx, data):
+        X, _ = data
+        np.testing.assert_allclose(
+            np.asarray(sidx.row_means), X.mean(0), atol=1e-4
+        )
+
+
+class TestShardedSearch:
+    def test_recall_at_least_single_device(self, sidx, data, mesh8):
+        X, Y = data
+        ids, _ = search_sharded(sidx, X, Y, mesh=mesh8)
+        tq, _ = ann.brute_force_knn(jnp.asarray(X), jnp.asarray(Y), 10)
+        rec = recall_at_k(np.asarray(tq), np.asarray(ids), 10)
+        assert rec > 0.8, rec
+
+    def test_global_ids_and_sorted(self, sidx, data, mesh8):
+        X, Y = data
+        ids, dists = search_sharded(sidx, X, Y, mesh=mesh8)
+        ids, dists = np.asarray(ids), np.asarray(dists)
+        assert (ids >= 0).all() and (ids <= sidx.n).all()
+        assert (np.diff(dists, 1) >= -1e-6).all()
+        # distances are true squared L2 to the returned global ids
+        for j in range(10):
+            want = ((Y[5] - X[ids[5, j]]) ** 2).sum()
+            np.testing.assert_allclose(dists[5, j], want, rtol=1e-4)
+
+    def test_global_graph(self, sidx, data, mesh8):
+        X, _ = data
+        gg, _ = global_graph_sharded(sidx, X, mesh=mesh8)
+        tg, _ = ann.brute_force_knn_self(jnp.asarray(X), 10)
+        gg = np.asarray(gg)
+        assert not any(i in gg[i] for i in range(len(gg)))
+        assert recall_at_k(np.asarray(tg), gg, 10) > 0.7
+
+    def test_mesh_size_one_matches_spirit(self, data):
+        """A 1-device mesh must work (degenerate distribution)."""
+        X, Y = data
+        mesh1 = make_mesh(1)
+        sidx1 = build_sharded(X[:1024], 5, mesh=mesh1, seed=0)
+        ids, _ = search_sharded(sidx1, X[:1024], Y, mesh=mesh1)
+        tq, _ = ann.brute_force_knn(jnp.asarray(X[:1024]), jnp.asarray(Y), 5)
+        assert recall_at_k(np.asarray(tq), np.asarray(ids), 5) > 0.6
+
+    def test_rejects_indivisible_n(self, mesh8):
+        X = np.zeros((100, 8), np.float32)
+        with pytest.raises(ValueError):
+            build_sharded(X, 5, mesh=mesh8)
