@@ -51,6 +51,10 @@ def main() -> int:
     args = ap.parse_args()
 
     import jax
+
+    # persistent compile cache: repeated bench runs skip XLA re-compilation
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     import approximatenn_tpu as ann
@@ -67,7 +71,11 @@ def main() -> int:
     t0 = time.perf_counter()
     index, graph, _ = ann.build(Xd, k, tries=tries, seed=7)
     jax.block_until_ready(graph)
-    build_s = time.perf_counter() - t0
+    build_cold_s = time.perf_counter() - t0  # includes trace + XLA compile
+    t0 = time.perf_counter()
+    index, graph, _ = ann.build(Xd, k, tries=tries, seed=7)
+    jax.block_until_ready(graph)
+    build_s = time.perf_counter() - t0  # steady state (compiled)
 
     # warmup (compile)
     ids, dists = ann.search(index, Xd, Yd)
@@ -93,6 +101,7 @@ def main() -> int:
         "config": CONFIG,
         "query_s": round(query_s, 6),
         "build_s": round(build_s, 3),
+        "build_cold_s": round(build_cold_s, 3),
         "device": str(jax.devices()[0]),
     }
     if base:

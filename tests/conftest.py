@@ -22,6 +22,8 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # fresh, fixed-seed generator per test: results don't depend on
+    # which other tests ran first
     return np.random.default_rng(12345)

@@ -53,7 +53,7 @@ def test_apply_rotation_is_givens(rng):
         c, s = np.cos(aa, dtype=np.float32), np.sin(aa, dtype=np.float32)
         want[:, ii] = x[:, ii] * c - x[:, jj] * s
         want[:, jj] = x[:, ii] * s + x[:, jj] * c
-    np.testing.assert_allclose(got, want, rtol=1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
     # norm preserved
     np.testing.assert_allclose(
         (got * got).sum(1), (x * x).sum(1), rtol=1e-5
