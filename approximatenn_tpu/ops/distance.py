@@ -23,6 +23,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .topk import topk_iter
+
 
 def candidate_dists(
     q: jax.Array,
@@ -107,8 +109,7 @@ def brute_force_knn(
         qn = jnp.sum(qb * qb, axis=-1)
         dots = qb @ points.T
         dd = qn[:, None] + pn[None, :] - 2.0 * dots
-        neg, idx = jax.lax.top_k(-dd, k)
-        return idx, -neg
+        return topk_iter(dd, k)
 
     m = queries.shape[0]
     return blocked_over_rows(one, m, min(block, m), queries, pad_values=(0.0,))
@@ -126,8 +127,7 @@ def brute_force_knn_self(points: jax.Array, k: int, block: int = 1024):
         dots = qb @ points.T
         dd = qn[:, None] + pn[None, :] - 2.0 * dots
         dd = jnp.where(jnp.arange(n)[None, :] == rows[:, None], jnp.inf, dd)
-        neg, idx = jax.lax.top_k(-dd, k)
-        return idx, -neg
+        return topk_iter(dd, k)
 
     return blocked_over_rows(
         one, n, min(block, n), points, jnp.arange(n), pad_values=(0.0, -1)
