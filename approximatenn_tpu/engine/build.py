@@ -148,6 +148,8 @@ def build(
     dtype=None,
     capacity: int | None = None,
     budget_bytes: int = 128 << 20,
+    metric: str = "l2",
+    store_points: bool | None = None,
 ) -> tuple[ANNIndex, jax.Array, jax.Array]:
     """Build an index over ``points`` (n, d); returns (index, graph, dists).
 
@@ -156,6 +158,11 @@ def build(
     ``capacity`` pins the bucket capacity for a sync-free, fully-jittable
     build (overflow dropped); None reads the exact max occupancy back once,
     as the reference's host histogram does (``alg.c:252-266``).
+
+    ``metric``: 'l2' (the reference's only metric) or 'angular' — cosine
+    via one up-front row normalization (``data.preprocess``).  For angular,
+    the normalized points are stored in the index (``store_points`` defaults
+    True there) and :func:`~..engine.search.search` runs against them.
     """
     n, d = points.shape
     if n >= 2**31:
@@ -163,6 +170,11 @@ def build(
     dtype = dtype or config.ftype()
     if key is None:
         key = jax.random.key(seed)
+    from ..data.preprocess import prepare_points
+
+    points = prepare_points(jnp.asarray(points, dtype), metric)
+    if store_points is None:
+        store_points = metric != "l2"
     d_short, _ = derive_dims(n, k, d)
     if d_short > 28:
         raise ValueError(f"d_short={d_short} too large (bucket table 2^{d_short})")
@@ -185,6 +197,7 @@ def build(
     index = ANNIndex(
         row_means=row_means, bases=bases, tables=tables, counts=counts,
         graph=graph, n=n, k=k, d=d, d_short=d_short, tries=tries, tmax=tmax,
+        points=points_f if store_points else None, metric=metric,
     )
     return index, graph, gdists
 

@@ -70,8 +70,8 @@ _search_jit = partial(jax.jit, static_argnames=("block_rows",))(search_impl)
 
 def search(
     index: ANNIndex,
-    points,
-    queries,
+    points=None,
+    queries=None,
     *,
     budget_bytes: int = 128 << 20,
     block_rows: int | None = None,
@@ -79,9 +79,25 @@ def search(
     """Find the k approximate nearest neighbors of each query.
 
     Mirrors ``query`` (``ann.h:61-62``): ``points`` must be the same array
-    the index was built over (the index stores ids, not vectors).  Returns
-    (ids (m, k) int32 with sentinel n padding, squared distances (m, k)).
+    the index was built over (the index stores ids, not vectors), or None
+    to use points stored in the index (``build(store_points=True)``; always
+    the case for metric='angular').  Queries are metric-preprocessed to
+    match the build.  Returns (ids (m, k) int32 with sentinel n padding,
+    squared distances (m, k) — on normalized vectors for angular).
     """
+    if queries is None:  # search(index, queries) convenience form
+        points, queries = None, points
+    if points is None:
+        if index.points is None:
+            raise ValueError(
+                "index does not store points; pass the build-time point "
+                "matrix or build with store_points=True"
+            )
+        points = index.points
+    if index.metric != "l2":
+        from ..data.preprocess import prepare_points
+
+        queries = prepare_points(jnp.asarray(queries, index.bases.dtype), index.metric)
     m = queries.shape[0]
     if block_rows is None:
         ltot = index.tries * (index.d_short + 1) * index.tmax

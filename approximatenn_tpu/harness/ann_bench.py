@@ -1,0 +1,107 @@
+"""Dataset benchmark runner: recall@k vs throughput over the config ladder.
+
+Role in the reference: none — its harnesses only time random Gaussian runs
+(``/root/reference/time_results.c``).  This runner executes the
+BASELINE.json ladder (SIFT-1M / GloVe-1.2M / Deep / synthetic points) on a
+named dataset: build the index, compute/load exact ground truth, sweep one
+or more operating points (tries), and report recall@k, build time, QPS
+(pipelined) and per-batch latency as JSON lines.
+
+Run:  python -m approximatenn_tpu.harness.ann_bench --dataset sift-1m \
+          [--max-n 100000] [--k 10] [--tries 10 6 4] [--batch 1000]
+
+Datasets resolve from $ANN_TPU_DATA (see ``data.datasets``); absent files
+fall back to deterministic synthetic stand-ins at the same operating point
+(reported with "synthetic": true so numbers are never confused).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def run_config(ann, jax, ds, k, tries, batch, reps, seed):
+    import jax.numpy as jnp
+
+    Xd = jnp.asarray(ds.base)
+    t0 = time.perf_counter()
+    index, graph, _ = ann.build(Xd, k, tries=tries, seed=seed, metric=ds.metric)
+    jax.block_until_ready(index.tables)
+    build_s = time.perf_counter() - t0
+
+    from ..data.datasets import ensure_groundtruth
+
+    gt = ensure_groundtruth(ds, k)
+
+    nq = min(batch, ds.queries.shape[0])
+    Yd = jnp.asarray(ds.queries[:nq])
+    pts = None if index.points is not None else Xd
+    ids, _ = ann.search(index, pts, Yd)
+    jax.block_until_ready(ids)
+
+    # throughput: pipelined async dispatch; latency: per-batch sync
+    t0 = time.perf_counter()
+    outs = [ann.search(index, pts, Yd) for _ in range(reps)]
+    jax.block_until_ready(outs)
+    qps = nq * reps / (time.perf_counter() - t0)
+    lat = []
+    for _ in range(min(reps, 5)):
+        t0 = time.perf_counter()
+        jax.block_until_ready(ann.search(index, pts, Yd))
+        lat.append(time.perf_counter() - t0)
+
+    got = np.asarray(ids)
+    want = gt[:nq, :k]
+    hits = sum(
+        len(set(got[i].tolist()) & set(want[i].tolist())) for i in range(nq)
+    )
+    recall = hits / (nq * k)
+    return {
+        "dataset": ds.name,
+        "synthetic": ds.synthetic,
+        "metric": ds.metric,
+        "n": ds.n,
+        "d": ds.d,
+        "k": k,
+        "tries": tries,
+        "batch": nq,
+        "recall_at_k": round(recall, 4),
+        "build_s": round(build_s, 3),
+        "qps": round(qps, 1),
+        "latency_s": round(float(np.median(lat)), 6),
+        "index_mb": round(index.memory_bytes() / 2**20, 1),
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser("ann_bench", description=__doc__.splitlines()[0])
+    p.add_argument("--dataset", default="gaussian-10k",
+                   help="named dataset (see data.datasets.SPECS) or dir name")
+    p.add_argument("--max-n", type=int, default=None, help="truncate base set")
+    p.add_argument("--max-queries", type=int, default=None)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--tries", type=int, nargs="+", default=[10])
+    p.add_argument("--batch", type=int, default=1000)
+    p.add_argument("--reps", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+
+    import approximatenn_tpu as ann
+    from ..data import datasets
+
+    ds = datasets.load(args.dataset, max_n=args.max_n, max_queries=args.max_queries)
+    for tries in args.tries:
+        rec = run_config(ann, jax, ds, args.k, tries, args.batch, args.reps, args.seed)
+        print(json.dumps(rec), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -47,6 +47,12 @@ class ANNIndex:
     d_short: int = dataclasses.field(metadata=dict(static=True))
     tries: int = dataclasses.field(metadata=dict(static=True))
     tmax: int = dataclasses.field(metadata=dict(static=True))
+    # optional stored (preprocessed) point matrix: the reference never keeps
+    # vectors in save_t (callers re-pass them, ann.h:61-62); storing them is
+    # a new serving convenience and is REQUIRED for metric="angular", where
+    # search must run against the normalized copy.
+    points: Any = None  # (n, d) ftype or None
+    metric: str = dataclasses.field(default="l2", metadata=dict(static=True))
 
     @property
     def n_buckets(self) -> int:
@@ -68,18 +74,22 @@ class ANNIndex:
             tables = int(self.par_maxes().sum()) * self.n_buckets * 4
         else:
             tables = self.tables.size * 4
-        return int(base + tables)
+        pts = 0 if self.points is None else self.points.size * f
+        return int(base + tables + pts)
 
     def save(self, path: str) -> None:
-        np.savez_compressed(
-            path,
+        arrays = dict(
             row_means=np.asarray(self.row_means),
             bases=np.asarray(self.bases),
             tables=np.asarray(self.tables),
             counts=np.asarray(self.counts),
             graph=np.asarray(self.graph),
             meta=np.array([self.n, self.k, self.d, self.d_short, self.tries, self.tmax]),
+            metric=np.array(self.metric),
         )
+        if self.points is not None:
+            arrays["points"] = np.asarray(self.points)
+        np.savez_compressed(path, **arrays)
 
     @classmethod
     def load(cls, path: str) -> "ANNIndex":
@@ -92,4 +102,6 @@ class ANNIndex:
             counts=jnp.asarray(z["counts"]),
             graph=jnp.asarray(z["graph"]),
             n=n, k=k, d=d, d_short=d_short, tries=tries, tmax=tmax,
+            points=jnp.asarray(z["points"]) if "points" in z else None,
+            metric=str(z["metric"]) if "metric" in z else "l2",
         )

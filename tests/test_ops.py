@@ -17,7 +17,12 @@ from approximatenn_tpu.ops.distance import (
     candidate_dists,
 )
 from approximatenn_tpu.ops.hash import pack_signs, probe_codes
-from approximatenn_tpu.ops.topk import dedup_topk
+from approximatenn_tpu.ops.topk import (
+    dedup_topk,
+    dedup_topk_sort,
+    topk_iter,
+    topk_no_dedup,
+)
 
 
 class TestHash:
@@ -108,6 +113,48 @@ class TestTopk:
             want = sorted(best, key=best.get)[:k]
             got = [v for v in gi[i] if v < n]
             assert got == want
+
+    def test_iter_matches_sort_form(self, rng):
+        """The k-pass argmin form must equal the sort-based oracle form."""
+        m, L, k, n = 16, 70, 9, 50
+        ids = rng.integers(0, n + 1, (m, L)).astype(np.int32)
+        dd = rng.integers(0, 30, (m, L)).astype(np.float32)  # force dist ties
+        dd[ids == n] = np.inf
+        ai, ad = dedup_topk(jnp.asarray(ids), jnp.asarray(dd), k, n)
+        bi, bd = dedup_topk_sort(jnp.asarray(ids), jnp.asarray(dd), k, n)
+        # with distance ties across different ids the picked set can
+        # legitimately differ in tie order only — compare (dist, id) pairs
+        # after sorting, and require identical distance sequences
+        np.testing.assert_array_equal(np.asarray(ad), np.asarray(bd))
+        for i in range(m):
+            a = {(d_, v) for d_, v in zip(np.asarray(ad)[i], np.asarray(ai)[i]) if np.isfinite(d_)}
+            got_d = sorted(d_ for d_, _ in a)
+            want_d = sorted(d_ for d_ in np.asarray(bd)[i] if np.isfinite(d_))
+            assert got_d == want_d
+
+    def test_k_exceeds_candidates_pads(self):
+        ids = jnp.array([[1, 2, 1]], jnp.int32)
+        dists = jnp.array([[0.2, 0.1, 0.2]])
+        gi, gd = dedup_topk(ids, dists, 6, sentinel=9)
+        gi, gd = np.asarray(gi)[0], np.asarray(gd)[0]
+        np.testing.assert_array_equal(gi[:2], [2, 1])
+        assert (gi[2:] == 9).all() and np.isinf(gd[2:]).all()
+        assert gi.shape == (6,)
+
+    def test_topk_iter_matches_lax_topk(self, rng):
+        m, L, k = 8, 200, 12
+        dd = rng.random((m, L)).astype(np.float32)
+        pos, vals = topk_iter(jnp.asarray(dd), k)
+        neg, idx = jax.lax.top_k(-jnp.asarray(dd), k)
+        np.testing.assert_array_equal(np.asarray(pos), np.asarray(idx))
+        np.testing.assert_array_equal(np.asarray(vals), -np.asarray(neg))
+
+    def test_topk_no_dedup_pads_past_length(self):
+        dists = jnp.array([[0.3, 0.1]])
+        ids = jnp.array([[7, 4]], jnp.int32)
+        gi, gd = topk_no_dedup(dists, ids, 4)
+        np.testing.assert_array_equal(np.asarray(gi)[0, :2], [4, 7])
+        assert np.isinf(np.asarray(gd)[0, 2:]).all()
 
 
 class TestDistance:
