@@ -66,7 +66,29 @@ def score_guesses(
     points: np.ndarray, y: np.ndarray | None, guess: np.ndarray, k: int
 ) -> Score:
     """Score one run's guesses (role of ``cscore``,
-    ``test_correctness.c:246-262``)."""
+    ``test_correctness.c:246-262``).
+
+    Large problems (m*n > 5e7, where the (m, n) rank matrix stops fitting)
+    route to the multithreaded native scorer, which counts strictly-closer
+    points per guess — identical up to distance ties, which the reference's
+    qsort breaks arbitrarily anyway.
+    """
+    m = len(points) if y is None else len(y)
+    if m * len(points) > 50_000_000:
+        from ..native import rank_guesses
+
+        rank_sum, miss, mx = rank_guesses(
+            points,
+            points if y is None else y,
+            np.asarray(guess)[:, :k],
+            exclude_self_offset=0 if y is None else -1,
+        )
+        mean_excess = (rank_sum.mean() - k * (k - 1) / 2) / k
+        return Score(
+            float(mean_excess),
+            float(1.0 - miss.sum() / (m * k)),
+            float(mx.max() / k),
+        )
     inv = true_ranks(points, y)
     m, n = inv.shape
     guess = np.asarray(guess)[:, :k]
