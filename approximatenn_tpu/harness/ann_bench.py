@@ -28,10 +28,16 @@ import numpy as np
 def run_config(ann, jax, ds, k, tries, batch, reps, seed):
     import jax.numpy as jnp
 
+    # device->host scalar read of the LAST output: the only reliable
+    # completion fence on remote-attached TPU runtimes (block_until_ready
+    # can be a no-op there); a single core runs programs in order.
+    def drain(outs):
+        return float(jnp.sum(outs[-1][0][:, :1].astype(jnp.float32)))
+
     Xd = jnp.asarray(ds.base)
     t0 = time.perf_counter()
     index, graph, _ = ann.build(Xd, k, tries=tries, seed=seed, metric=ds.metric)
-    jax.block_until_ready(index.tables)
+    drain([(graph,)])
     build_s = time.perf_counter() - t0
 
     from ..data.datasets import ensure_groundtruth
@@ -42,17 +48,17 @@ def run_config(ann, jax, ds, k, tries, batch, reps, seed):
     Yd = jnp.asarray(ds.queries[:nq])
     pts = None if index.points is not None else Xd
     ids, _ = ann.search(index, pts, Yd)
-    jax.block_until_ready(ids)
+    drain([(ids,)])
 
-    # throughput: pipelined async dispatch; latency: per-batch sync
+    # throughput: pipelined dispatch, one fence over all outputs
     t0 = time.perf_counter()
     outs = [ann.search(index, pts, Yd) for _ in range(reps)]
-    jax.block_until_ready(outs)
+    drain(outs)
     qps = nq * reps / (time.perf_counter() - t0)
     lat = []
     for _ in range(min(reps, 5)):
         t0 = time.perf_counter()
-        jax.block_until_ready(ann.search(index, pts, Yd))
+        drain([ann.search(index, pts, Yd)])
         lat.append(time.perf_counter() - t0)
 
     got = np.asarray(ids)

@@ -68,36 +68,45 @@ def main() -> int:
     Xd = jnp.asarray(X)
     Yd = jnp.asarray(Y)
 
+    # NOTE on synchronization: on some remote-attached TPU runtimes
+    # jax.block_until_ready does not actually wait for device completion;
+    # the only reliable fence is a device->host read.  A single TPU core
+    # executes enqueued programs in submission order, so pulling a scalar
+    # of the LAST output fences everything before it.
+    def drain(outs):
+        return float(jnp.sum(outs[-1][0][:, :1].astype(jnp.float32)))
+
     t0 = time.perf_counter()
     index, graph, _ = ann.build(Xd, k, tries=tries, seed=7)
-    jax.block_until_ready(graph)
+    drain([(graph,)])
     build_cold_s = time.perf_counter() - t0  # includes trace + XLA compile
     t0 = time.perf_counter()
     index, graph, _ = ann.build(Xd, k, tries=tries, seed=7)
-    jax.block_until_ready(graph)
+    drain([(graph,)])
     build_s = time.perf_counter() - t0  # steady state (compiled)
 
     # warmup (compile)
     ids, dists = ann.search(index, Xd, Yd)
-    jax.block_until_ready((ids, dists))
+    drain([(ids,)])
 
-    # latency: one synchronous round trip per batch
+    # latency: one fully-synchronous round trip per batch (includes the
+    # host<->device transport latency of this runtime)
     times = []
     for _ in range(args.reps):
         t0 = time.perf_counter()
         out = ann.search(index, Xd, Yd)
-        jax.block_until_ready(out)
+        drain([out])
         times.append(time.perf_counter() - t0)
     latency_s = float(np.median(times))
 
-    # throughput: pipelined async dispatch (how a serving loop runs) —
-    # JAX queues all batches and the host-side dispatch overhead overlaps
-    # with device compute; only the final result is awaited.
+    # throughput: pipelined dispatch (how a serving loop runs) — all
+    # batches are queued, then one scalar depending on every output is
+    # pulled, so the measurement covers ALL device work.
     outs = []
     t0 = time.perf_counter()
     for _ in range(args.reps):
         outs.append(ann.search(index, Xd, Yd))
-    jax.block_until_ready(outs)
+    drain(outs)
     query_s = (time.perf_counter() - t0) / args.reps
     qps = ycnt / query_s
 
