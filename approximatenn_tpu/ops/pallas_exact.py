@@ -1,0 +1,200 @@
+"""Fused exact-kNN Pallas kernel: streaming distances + on-chip top-k.
+
+TPU-first replacement for the reference's brute-force oracle *and* a
+first-class exact search mode.  The reference materializes an (n, L, d)
+diff tensor and tree-reduces it (``compute_diffs_squared`` +
+``add_cols_step``, ``/root/reference/compute.cl:135-167``); the XLA version
+(:func:`..ops.distance.brute_force_knn`) materializes an (m, n) distance
+matrix in HBM.  This kernel never materializes either: point tiles stream
+HBM -> VMEM once, each tile's distances are one MXU matmul
+(``qn + pn - 2 q @ tile.T``), and a running top-k per query lives in VMEM
+scratch across grid steps — the k-extraction is the same masked-argmin
+selection as :func:`..ops.topk.topk_iter`, entirely on the VPU.
+
+HBM traffic: points read exactly once + queries once + (m, k) out.
+At (m=1000, n=20000, d=128) that is ~10 MB vs ~80 MB materialized — and
+the matmul (5 GFLOP) rides the MXU, so exact search at single-chip scale
+runs at memory speed.
+
+Everything is static-shaped; no dynamic gather (unsupported by Mosaic as of
+this writing) is used anywhere — per-row argmin extraction uses
+masked-reduce instead of ``take_along_axis``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import itype
+
+_NEG1 = -1
+
+
+def _extract_min(dd: jax.Array, ids: jax.Array):
+    """Row minimum of dd and its id, via masked reduce (no gather).
+
+    ``ids`` may be (1, T) and broadcasts against dd (B, T) — keeping it a
+    single row avoids materializing a (B, T) id buffer in VMEM.  Ties
+    resolve to the smallest id among the minima (deterministic).
+    Returns (dmin (B, 1), imin (B, 1)); caller masks out the winner.
+    """
+    dmin = jnp.min(dd, axis=-1, keepdims=True)
+    big = jnp.iinfo(jnp.int32).max
+    imin = jnp.min(jnp.where(dd == dmin, ids, big), axis=-1, keepdims=True)
+    return dmin, imin
+
+
+def _kernel(q_ref, qn_ref, excl_ref, pts_ref, out_i_ref, out_d_ref,
+            run_d, run_i, *, k: int, n: int, tile: int, n_tiles: int):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        run_d[:] = jnp.full(run_d.shape, jnp.inf, run_d.dtype)
+        run_i[:] = jnp.full(run_i.shape, n, run_i.dtype)
+
+    qb = q_ref[:]  # (B, d)
+    tile_pts = pts_ref[:]  # (T, d)
+    base = t * tile
+    gids = base + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)  # (1, T)
+
+    pn = jnp.sum(tile_pts * tile_pts, axis=-1)[None, :]  # (1, T)
+    dots = jax.lax.dot_general(
+        qb, tile_pts,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, T)
+    dd = qn_ref[:] + pn - 2.0 * dots
+    # padding rows (global id >= n) and self-exclusions -> +inf
+    dd = jnp.where(gids < n, dd, jnp.inf)
+    dd = jnp.where(gids == excl_ref[:], jnp.inf, dd)
+
+    # merge this tile into the running top-k: k rounds of
+    # (tile min) vs (running worst) replacement
+    cur_d, cur_i = run_d[:], run_i[:]
+    kiota = jax.lax.broadcasted_iota(jnp.int32, cur_d.shape, 1)
+    for _ in range(k):
+        dmin, imin = _extract_min(dd, gids)
+        wmax = jnp.max(cur_d, axis=-1, keepdims=True)
+        # the worst running slot (ties -> smallest slot index)
+        big = jnp.iinfo(jnp.int32).max
+        wslot = jnp.min(jnp.where(cur_d == wmax, kiota, big), axis=-1,
+                        keepdims=True)
+        better = dmin < wmax  # (B, 1)
+        hit = better & (kiota == wslot)
+        cur_d = jnp.where(hit, dmin, cur_d)
+        cur_i = jnp.where(hit, imin, cur_i)
+        dd = jnp.where(gids == imin, jnp.inf, dd)
+    run_d[:] = cur_d
+    run_i[:] = cur_i
+
+    @pl.when(t == n_tiles - 1)
+    def _emit():
+        # ascending extraction of the running k (k more selection rounds)
+        d_, i_ = run_d[:], run_i[:]
+        outs_d, outs_i = [], []
+        for _ in range(k):
+            dmin, imin = _extract_min(d_, i_)
+            # an all-inf row matches every entry in the masked reduce;
+            # emit the sentinel id there, not the smallest leftover id
+            imin = jnp.where(jnp.isinf(dmin), n, imin)
+            outs_d.append(dmin)
+            outs_i.append(imin)
+            d_ = jnp.where(i_ == imin, jnp.inf, d_)
+        out_d_ref[:] = jnp.concatenate(outs_d, axis=-1)
+        out_i_ref[:] = jnp.concatenate(outs_i, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tile", "query_block", "interpret"),
+)
+def exact_knn_pallas(
+    points: jax.Array,
+    queries: jax.Array,
+    k: int,
+    *,
+    exclude: jax.Array | None = None,
+    tile: int = 512,
+    query_block: int = 512,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact k nearest neighbors, fused streaming kernel.
+
+    points (n, d), queries (m, d); optional ``exclude`` (m,) int32 point id
+    to skip per query (the kNN-graph self-exclusion; -1 = none).  Returns
+    (ids (m, k) int32 ascending by distance, squared distances (m, k)),
+    sentinel id = n past the real candidates.  ``interpret=True`` runs the
+    identical kernel on CPU (how the tests validate it without a TPU).
+    """
+    n, d = points.shape
+    m = queries.shape[0]
+    if k > 128:
+        raise ValueError("exact_knn_pallas supports k <= 128 (unrolled selection)")
+    f32 = jnp.float32
+    points = points.astype(f32)
+    queries = queries.astype(f32)
+    if exclude is None:
+        exclude = jnp.full((m,), _NEG1, jnp.int32)
+    exclude = exclude.astype(jnp.int32)
+
+    tile = min(tile, max(8, n))
+    n_tiles = math.ceil(n / tile)
+    bq = min(query_block, m)
+    nq_blocks = math.ceil(m / bq)
+    mp = nq_blocks * bq
+
+    def pad_rows(a, value):
+        if a.shape[0] == mp:
+            return a
+        w = [(0, mp - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, w, constant_values=value)
+
+    qp = pad_rows(queries, 0.0)
+    qn = jnp.sum(qp * qp, axis=-1, keepdims=True)
+    ep = pad_rows(exclude[:, None], _NEG1)
+
+    kernel = functools.partial(
+        _kernel, k=k, n=n, tile=tile, n_tiles=n_tiles
+    )
+    out_i, out_d = pl.pallas_call(
+        kernel,
+        grid=(nq_blocks, n_tiles),
+        in_specs=[
+            pl.BlockSpec((bq, d), lambda qb, t: (qb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 1), lambda qb, t: (qb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 1), lambda qb, t: (qb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda qb, t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bq, k), lambda qb, t: (qb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, k), lambda qb, t: (qb, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, k), jnp.int32),
+            jax.ShapeDtypeStruct((mp, k), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, k), f32),
+            pltpu.VMEM((bq, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qp, qn, ep, points)
+    ids = out_i[:m].astype(itype)
+    dd = out_d[:m]
+    # exhausted rows (k > n etc.) already carry (n, +inf)
+    return ids, dd
+
+
+def exact_knn_self_pallas(points, k: int, **kw):
+    """Exact kNN graph with self-exclusion (oracle for the build graph)."""
+    n = points.shape[0]
+    return exact_knn_pallas(
+        points, points, k, exclude=jnp.arange(n, dtype=jnp.int32), **kw
+    )

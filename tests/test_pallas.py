@@ -1,0 +1,62 @@
+"""Tests for the fused exact-kNN Pallas kernel (interpret mode on CPU —
+the identical kernel code compiles for TPU; SURVEY.md §4's fake-backend
+pattern applied to a kernel)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from approximatenn_tpu.ops.distance import brute_force_knn, brute_force_knn_self
+from approximatenn_tpu.ops.pallas_exact import (
+    exact_knn_pallas,
+    exact_knn_self_pallas,
+)
+
+
+class TestExactKNNPallas:
+    def test_matches_oracle(self, rng):
+        p = jnp.asarray(rng.standard_normal((700, 33)).astype(np.float32))
+        q = jnp.asarray(rng.standard_normal((57, 33)).astype(np.float32))
+        ia, da = exact_knn_pallas(p, q, 7, tile=256, query_block=16, interpret=True)
+        ib, db = brute_force_knn(p, q, 7)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(ia), 1), np.sort(np.asarray(ib), 1)
+        )
+        np.testing.assert_allclose(np.asarray(da), np.asarray(db), rtol=1e-4, atol=1e-4)
+
+    def test_ascending_order(self, rng):
+        p = jnp.asarray(rng.standard_normal((300, 8)).astype(np.float32))
+        q = jnp.asarray(rng.standard_normal((9, 8)).astype(np.float32))
+        _, da = exact_knn_pallas(p, q, 6, tile=128, query_block=8, interpret=True)
+        da = np.asarray(da)
+        assert (np.diff(da, axis=1) >= 0).all()
+
+    def test_self_exclusion(self, rng):
+        p = jnp.asarray(rng.standard_normal((200, 6)).astype(np.float32))
+        ia, _ = exact_knn_self_pallas(p, 4, tile=64, query_block=32, interpret=True)
+        ia = np.asarray(ia)
+        assert not any(i in ia[i] for i in range(200))
+        ib, _ = brute_force_knn_self(p, 4)
+        np.testing.assert_array_equal(np.sort(ia, 1), np.sort(np.asarray(ib), 1))
+
+    def test_uneven_tile_and_block(self, rng):
+        # n not a multiple of tile, m not a multiple of query_block
+        p = jnp.asarray(rng.standard_normal((333, 12)).astype(np.float32))
+        q = jnp.asarray(rng.standard_normal((41, 12)).astype(np.float32))
+        ia, _ = exact_knn_pallas(p, q, 5, tile=128, query_block=16, interpret=True)
+        ib, _ = brute_force_knn(p, q, 5)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(ia), 1), np.sort(np.asarray(ib), 1)
+        )
+
+    def test_k_exceeds_n_pads_with_sentinel(self, rng):
+        p = jnp.asarray(rng.standard_normal((5, 4)).astype(np.float32))
+        q = jnp.asarray(rng.standard_normal((3, 4)).astype(np.float32))
+        ia, da = exact_knn_pallas(p, q, 8, tile=8, query_block=8, interpret=True)
+        ia, da = np.asarray(ia), np.asarray(da)
+        assert (ia[:, 5:] == 5).all() and np.isinf(da[:, 5:]).all()
+
+    def test_rejects_large_k(self, rng):
+        p = jnp.asarray(rng.standard_normal((10, 4)).astype(np.float32))
+        with pytest.raises(ValueError, match="k <= 128"):
+            exact_knn_pallas(p, p, 129, interpret=True)
