@@ -25,7 +25,7 @@ import time
 import numpy as np
 
 
-def run_config(ann, jax, ds, k, tries, batch, reps, seed):
+def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto"):
     import jax.numpy as jnp
 
     # device->host scalar read of the LAST output: the only reliable
@@ -36,7 +36,12 @@ def run_config(ann, jax, ds, k, tries, batch, reps, seed):
 
     Xd = jnp.asarray(ds.base)
     t0 = time.perf_counter()
-    index, graph, _ = ann.build(Xd, k, tries=tries, seed=seed, metric=ds.metric)
+    # capacity defaults to "auto": linear-memory tables (exact-max capacity
+    # explodes on clustered corpora — one hot bucket holds a whole cluster).
+    # --capacity sweeps the quality/throughput knob.
+    index, graph, _ = ann.build(
+        Xd, k, tries=tries, seed=seed, metric=ds.metric, capacity=capacity
+    )
     drain([(graph,)])
     build_s = time.perf_counter() - t0
 
@@ -78,6 +83,7 @@ def run_config(ann, jax, ds, k, tries, batch, reps, seed):
         "batch": nq,
         "recall_at_k": round(recall, 4),
         "build_s": round(build_s, 3),
+        "capacity": index.tmax,
         "qps": round(qps, 1),
         "latency_s": round(float(np.median(lat)), 6),
         "index_mb": round(index.memory_bytes() / 2**20, 1),
@@ -95,7 +101,14 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=1000)
     p.add_argument("--reps", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--capacity", default="auto",
+                   help="bucket capacity: int, 'auto' (default), or 'exact' "
+                        "(the reference's exact-max policy; can explode on "
+                        "clustered data)")
     args = p.parse_args(argv)
+    cap = {"auto": "auto", "exact": None}.get(args.capacity, args.capacity)
+    if isinstance(cap, str) and cap not in ("auto",):
+        cap = int(cap)
 
     import jax
 
@@ -104,7 +117,8 @@ def main(argv=None) -> int:
 
     ds = datasets.load(args.dataset, max_n=args.max_n, max_queries=args.max_queries)
     for tries in args.tries:
-        rec = run_config(ann, jax, ds, args.k, tries, args.batch, args.reps, args.seed)
+        rec = run_config(ann, jax, ds, args.k, tries, args.batch, args.reps,
+                         args.seed, capacity=cap)
         print(json.dumps(rec), flush=True)
     return 0
 

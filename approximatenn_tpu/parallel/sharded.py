@@ -103,7 +103,7 @@ def build_sharded(
     key=None,
     seed: int = 0,
     dtype=jnp.float32,
-    capacity: int | None = None,
+    capacity: int | str | None = None,
     budget_bytes: int = 128 << 20,
 ) -> ShardedIndex:
     """Distributed index build (TPU-native ``precomp`` at pod scale).
@@ -139,8 +139,9 @@ def build_sharded(
         return mu, codes.T, counts[None]
 
     row_means, codes_g, counts = stage_a(points, bases)
-    tmax = int(counts.max()) if capacity is None else int(capacity)
-    tmax = max(tmax, 1)
+    from ..engine.build import resolve_capacity
+
+    tmax = resolve_capacity(counts, capacity)
     block_rows = pick_block(
         n_local, (d_short + 1) * tmax, d, jnp.dtype(dtype).itemsize, budget_bytes
     )

@@ -167,3 +167,36 @@ class TestEdgeCases:
             assert s.prob_correct > 0.75
         finally:
             jax.config.update("jax_enable_x64", False)
+
+
+class TestAutoCapacity:
+    def test_auto_caps_hot_buckets(self, rng):
+        """Clustered data: exact-max capacity explodes; auto stays linear
+        and recall stays usable (points remain reachable via other tables
+        and the graph)."""
+        import approximatenn_tpu as ann
+        from approximatenn_tpu.data import clustered_gaussian
+        from approximatenn_tpu.ops.distance import brute_force_knn
+
+        base = clustered_gaussian(rng, 6000, 16, n_clusters=8, zipf=1.5)
+        import jax.numpy as jnp
+
+        Xd = jnp.asarray(base)
+        exact, _, _ = ann.build(Xd, 10, tries=6, seed=0)
+        auto, _, _ = ann.build(Xd, 10, tries=6, seed=0, capacity="auto")
+        assert auto.tmax < exact.tmax  # clustered data must trigger the cap
+        q = jnp.asarray(base[rng.integers(0, 6000, 50)]
+                        + 0.05 * rng.standard_normal((50, 16)).astype(np.float32))
+        true_ids, _ = brute_force_knn(Xd, q, 10)
+        got, _ = ann.search(auto, Xd, q)
+        got, want = np.asarray(got), np.asarray(true_ids)
+        recall = np.mean([len(set(got[i]) & set(want[i])) / 10 for i in range(50)])
+        assert recall >= 0.6
+
+    def test_bad_capacity_string(self, rng):
+        import approximatenn_tpu as ann
+        import jax.numpy as jnp
+
+        p = jnp.asarray(rng.standard_normal((100, 8)).astype(np.float32))
+        with pytest.raises(ValueError, match="auto"):
+            ann.build(p, 5, tries=2, capacity="automatic")

@@ -44,3 +44,26 @@ def test_process_local_array_roundtrip(rng):
     data = rng.standard_normal((4 * n_dev, 3)).astype(np.float32)
     arr = multihost.process_local_array(data.shape, mesh, data)
     np.testing.assert_array_equal(np.asarray(arr), data)
+
+
+def test_device_init_and_cleanup_registry():
+    from approximatenn_tpu.utils import runtime
+
+    dev = runtime.device_init()
+    assert dev is not None
+    order = []
+    runtime.register_cleanup(lambda: order.append("a"))
+    runtime.register_cleanup(lambda: order.append("b"))
+    runtime.register_cleanup(lambda: 1 / 0)  # exceptions suppressed
+    runtime.cleanup()
+    assert order == ["b", "a"]  # LIFO
+    info = runtime.device_summary()
+    assert info["device_count"] >= 1
+
+
+def test_device_init_float64_requires_x64():
+    import pytest
+    from approximatenn_tpu.utils import runtime
+
+    with pytest.raises(RuntimeError, match="x64"):
+        runtime.device_init(require_dtype="float64")
