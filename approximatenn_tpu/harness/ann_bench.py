@@ -110,7 +110,14 @@ def main(argv=None) -> int:
     if isinstance(cap, str) and cap not in ("auto",):
         cap = int(cap)
 
+    import os
+
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     import approximatenn_tpu as ann
     from ..data import datasets

@@ -107,3 +107,44 @@ class TestShardedSearch:
         X = np.zeros((100, 8), np.float32)
         with pytest.raises(ValueError):
             build_sharded(X, 5, mesh=mesh8)
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, rng, tmp_path):
+        import jax
+        from approximatenn_tpu.parallel.checkpoint import (
+            load_sharded_index,
+            save_sharded_index,
+        )
+        from approximatenn_tpu.parallel.sharded import (
+            build_sharded,
+            make_mesh,
+            search_sharded,
+        )
+
+        mesh = make_mesh(4)
+        pts = rng.standard_normal((256, 12)).astype(np.float32)
+        q = rng.standard_normal((9, 12)).astype(np.float32)
+        sidx = build_sharded(pts, 5, mesh=mesh, tries=3, seed=2)
+        a = search_sharded(sidx, pts, q, mesh=mesh)
+
+        save_sharded_index(sidx, tmp_path / "ck")
+        loaded = load_sharded_index(tmp_path / "ck", mesh)
+        assert loaded.n == sidx.n and loaded.tmax == sidx.tmax
+        b = search_sharded(loaded, pts, q, mesh=mesh)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+    def test_shard_count_mismatch_rejected(self, rng, tmp_path):
+        import pytest
+        from approximatenn_tpu.parallel.checkpoint import (
+            load_sharded_index,
+            save_sharded_index,
+        )
+        from approximatenn_tpu.parallel.sharded import build_sharded, make_mesh
+
+        mesh4 = make_mesh(4)
+        pts = rng.standard_normal((64, 8)).astype(np.float32)
+        sidx = build_sharded(pts, 4, mesh=mesh4, tries=2)
+        save_sharded_index(sidx, tmp_path / "ck")
+        with pytest.raises(ValueError, match="shards"):
+            load_sharded_index(tmp_path / "ck", make_mesh(2))
