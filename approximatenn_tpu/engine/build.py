@@ -160,6 +160,119 @@ def graph_stage(points, codes, counts, *, k, d_short, tmax, block_rows):
 _graph_stage = partial(jax.jit, static_argnames=("k", "d_short", "tmax", "block_rows"))(graph_stage)
 
 
+# ---------------------------------------------------------------------------
+# Chunked build driver.  One monolithic XLA program whose lax.map runs for
+# hundreds of thousands of sequential blocks can exceed what a TPU runtime
+# will execute in one launch (observed: worker crash at ~175k blocks while
+# ~16k blocks run fine).  For large n x tmax the build is therefore
+# host-orchestrated: the same stage bodies, jitted per (table, row-chunk),
+# each program bounded to ~_MAX_BLOCKS_PER_CALL blocks.  Bonus: progress is
+# observable and a failed chunk is retryable.
+# ---------------------------------------------------------------------------
+
+_MAX_BLOCKS_PER_CALL = 2048
+
+
+@partial(jax.jit, static_argnames=("k", "d_short", "block_rows"))
+def _probe_chunk(points, table, tcodes_chunk, row_lo, *, k, d_short, block_rows):
+    """Per-table per-row-chunk multiprobe + top-k (chunk of second_half).
+    ``row_lo`` is traced so every chunk reuses one compilation."""
+    n = points.shape[0]
+    m = tcodes_chunk.shape[0]
+    rows = row_lo + jnp.arange(m, dtype=itype)
+
+    def stage(qb, rr, cb):
+        cand = multiprobe_gather(table, cb, d_short)
+        dd = candidate_dists(qb, points, cand, exclude_self=rr)
+        return dedup_topk(cand, dd, k, n)
+
+    qchunk = jax.lax.dynamic_slice_in_dim(points, row_lo, m)
+    return blocked_over_rows(
+        stage, m, min(block_rows, m), qchunk, rows, tcodes_chunk,
+        pad_values=(0.0, -1, 0),
+    )
+
+
+def graph_stage_chunked(points, codes, counts, *, k, d_short, tmax, block_rows,
+                        progress=None):
+    """Host-orchestrated graph build: identical results to
+    :func:`graph_stage`, with every device program bounded."""
+    n = points.shape[0]
+    tries = codes.shape[0]
+    nb = 1 << d_short
+    tables = build_tables(codes, nb, tmax, n)
+    chunk = min(_MAX_BLOCKS_PER_CALL * block_rows, n)
+
+    per_table = []
+    for t in range(tries):
+        parts_i, parts_d = [], []
+        for lo in range(0, n, chunk):
+            m = min(chunk, n - lo)
+            ids_k, d_k = _probe_chunk(
+                points, tables[t],
+                jax.lax.dynamic_slice_in_dim(codes[t], lo, m),
+                jnp.asarray(lo, itype),
+                k=k, d_short=d_short, block_rows=block_rows,
+            )
+            parts_i.append(ids_k)
+            parts_d.append(d_k)
+            if progress:
+                progress(f"table {t + 1}/{tries} rows {lo + m}/{n}")
+        per_table.append((jnp.concatenate(parts_i), jnp.concatenate(parts_d)))
+    tids = jnp.stack([p[0] for p in per_table])  # (tries, n, k)
+    tdists = jnp.stack([p[1] for p in per_table])
+
+    cand1 = jnp.moveaxis(tids, 0, 1).reshape(n, tries * k)
+    d1 = jnp.moveaxis(tdists, 0, 1).reshape(n, tries * k)
+    g1, gd1 = _merge_tables(cand1, d1, k=k, n=n)
+
+    parts_i, parts_d = [], []
+    for lo in range(0, n, chunk):
+        m = min(chunk, n - lo)
+        ids_k, d_k = _supercharge_chunk(
+            points, g1,
+            jax.lax.dynamic_slice_in_dim(g1, lo, m),
+            jax.lax.dynamic_slice_in_dim(gd1, lo, m),
+            jnp.asarray(lo, itype),
+            k=k, block_rows=block_rows,
+        )
+        parts_i.append(ids_k)
+        parts_d.append(d_k)
+        if progress:
+            progress(f"supercharge rows {lo + m}/{n}")
+    return tables, jnp.concatenate(parts_i), jnp.concatenate(parts_d)
+
+
+@partial(jax.jit, static_argnames=("k", "n"))
+def _merge_tables(cand1, d1, *, k, n):
+    return dedup_topk(cand1, d1, k, n)
+
+
+@partial(jax.jit, static_argnames=("k", "block_rows"))
+def _supercharge_chunk(points, g1_full, g1c, gd1c, row_lo, *, k, block_rows):
+    n = points.shape[0]
+    m = g1c.shape[0]
+    rows = row_lo + jnp.arange(m, dtype=itype)
+
+    def final_stage(g1b, gd1b, rr):
+        safe = jnp.where(g1b < n, g1b, 0)
+        exp = jnp.where((g1b < n)[..., None], g1_full[safe], n)  # (B, k, k)
+        cand = jnp.concatenate([g1b, exp.reshape(-1, k * k)], axis=-1)
+        dd_exp = candidate_dists(
+            points[jnp.where(rr >= 0, rr, 0)],
+            points,
+            exp.reshape(-1, k * k),
+            exclude_self=rr,
+        )
+        dd = jnp.concatenate([gd1b, dd_exp], axis=-1)
+        return dedup_topk(cand, dd, k, n)
+
+    return blocked_over_rows(
+        final_stage, m, min(block_rows, m), g1c, gd1c, rows,
+        pad_values=(0, jnp.inf, -1),
+    )
+
+
 def build(
     points,
     k: int,
@@ -222,10 +335,20 @@ def build(
         n, (d_short + 1) * tmax, d, jnp.dtype(dtype).itemsize, budget_bytes
     )
     points_f = jnp.asarray(points, dtype)
-    tables, graph, gdists = _graph_stage(
-        points_f, codes, counts, k=k, d_short=d_short, tmax=tmax,
-        block_rows=block_rows,
-    )
+    # one monolithic program when it stays small enough for the runtime to
+    # execute in a single launch; host-chunked otherwise (see
+    # graph_stage_chunked's rationale)
+    total_blocks = (tries + 1) * -(-n // block_rows)
+    if total_blocks <= 16384:
+        tables, graph, gdists = _graph_stage(
+            points_f, codes, counts, k=k, d_short=d_short, tmax=tmax,
+            block_rows=block_rows,
+        )
+    else:
+        tables, graph, gdists = graph_stage_chunked(
+            points_f, codes, counts, k=k, d_short=d_short, tmax=tmax,
+            block_rows=block_rows,
+        )
     index = ANNIndex(
         row_means=row_means, bases=bases, tables=tables, counts=counts,
         graph=graph, n=n, k=k, d=d, d_short=d_short, tries=tries, tmax=tmax,

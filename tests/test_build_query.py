@@ -200,3 +200,32 @@ class TestAutoCapacity:
         p = jnp.asarray(rng.standard_normal((100, 8)).astype(np.float32))
         with pytest.raises(ValueError, match="auto"):
             ann.build(p, 5, tries=2, capacity="automatic")
+
+
+class TestChunkedBuild:
+    def test_chunked_equals_monolithic(self, rng):
+        """The host-chunked graph build must produce the identical graph."""
+        import jax.numpy as jnp
+        from approximatenn_tpu.engine import build as B
+        from approximatenn_tpu.ops.transforms import derive_dims
+
+        n, d, k, tries = 1200, 16, 6, 4
+        pts = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+        ds_, _ = derive_dims(n, k, d)
+        rm, bases, codes, counts = B._hash_stage(
+            pts, __import__("jax").random.key(3), d_short=ds_, tries=tries,
+            rb=6, rlb=1, ra=1, rla=1, dtype=jnp.float32)
+        tmax = B.resolve_capacity(counts, None)
+        ta, ga, da = B.graph_stage(pts, codes, counts, k=k, d_short=ds_,
+                                   tmax=tmax, block_rows=64)
+        # force many chunks
+        old = B._MAX_BLOCKS_PER_CALL
+        B._MAX_BLOCKS_PER_CALL = 2
+        try:
+            tb, gb, db = B.graph_stage_chunked(
+                pts, codes, counts, k=k, d_short=ds_, tmax=tmax, block_rows=64)
+        finally:
+            B._MAX_BLOCKS_PER_CALL = old
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+        np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+        np.testing.assert_allclose(np.asarray(da), np.asarray(db), rtol=1e-6)
