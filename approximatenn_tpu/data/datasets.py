@@ -37,6 +37,10 @@ SPECS = {
     "deep-10m": dict(n=10_000_000, d=96, nq=10_000, metric="l2"),
     "gaussian-10k": dict(n=10_000, d=32, nq=1_000, metric="l2"),
     "gaussian-100k": dict(n=100_000, d=128, nq=1_000, metric="l2"),
+    # adversarial stress case: few huge zipf clusters -> extreme bucket
+    # skew (one bucket can hold >5% of the corpus); exercises the capacity
+    # overflow path at its worst
+    "clustered-hard-1m": dict(n=1_000_000, d=128, nq=1_000, metric="l2"),
 }
 
 
@@ -113,11 +117,20 @@ def synthesize(name: str, n: int, d: int, nq: int, metric: str = "l2") -> Datase
 
     Clustered Gaussian (not iid) so bucket occupancies are realistically
     skewed — iid Gaussian makes every hash bucket uniform, which hides
-    capacity/overflow bugs and flatters recall.
+    capacity/overflow bugs and flatters recall.  Stand-ins for real corpora
+    use many fine-grained, mildly-skewed clusters (real SIFT/GloVe bucket
+    statistics); the ``clustered-hard-*`` names use few huge zipf clusters,
+    the adversarial regime where sign-hash buckets can't split a cluster.
     """
-    rng = np.random.default_rng(abs(hash(name)) % 2**32)
-    if n >= 50_000:
-        base = clustered_gaussian(rng, n, d, n_clusters=max(64, n // 10_000))
+    # seed must be stable across processes (hash() is salted per process)
+    seed = int.from_bytes(name.encode()[:4].ljust(4, b"_"), "little")
+    rng = np.random.default_rng(seed)
+    if name.startswith("clustered-hard"):
+        base = clustered_gaussian(rng, n, d, n_clusters=max(64, n // 10_000),
+                                  spread=4.0, zipf=1.2)
+    elif n >= 50_000:
+        base = clustered_gaussian(rng, n, d, n_clusters=max(256, n // 1_000),
+                                  spread=2.0, zipf=1.05)
     else:
         base = gaussian(rng, n, d)
     queries = base[rng.integers(0, n, nq)] + 0.1 * gaussian(rng, nq, d)

@@ -2,10 +2,11 @@
 
 Times ``build`` (with or without save, ``-z``) or batched ``search``
 (``-y N``), averaged over ``-o`` repetitions; prints mean seconds exactly as
-the reference does (``time_results.c:138-141``).  Device results are
-``block_until_ready``'d inside the timed region so XLA's async dispatch
-doesn't flatter the numbers; the first repetition is reported separately as
-compile+run (JIT warmup).
+the reference does (``time_results.c:138-141``).  Device completion is
+fenced inside the timed region with a device->host scalar read (on some
+remote-attached TPU runtimes ``block_until_ready`` is a no-op) so XLA's
+async dispatch doesn't flatter the numbers; the first repetition is
+reported separately as compile+run (JIT warmup).
 
 Run: ``python -m approximatenn_tpu.harness.time_results [-n ...]``
 """
@@ -47,10 +48,9 @@ def main(argv=None) -> int:
     )
 
     def block(tree):
-        jax.tree_util.tree_map(
-            lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
-            tree,
-        )
+        from ..utils.profiling import fence
+
+        fence(tree)
 
     time_used = 0.0
     first = None
