@@ -25,11 +25,12 @@ import jax.numpy as jnp
 from ..config import itype
 from ..index import ANNIndex
 from ..ops.distance import blocked_over_rows, candidate_dists, pick_block
-from ..ops.hash import pack_signs, probe_codes
+from ..ops.hash import pack_signs, probe_codes, probe_codes_directed
 from ..ops.topk import dedup_topk
 
 
-def search_impl(index: ANNIndex, points, queries, block_rows: int):
+def search_impl(index: ANNIndex, points, queries, block_rows: int,
+                n_probes: int | None = None):
     n, k, d_short, tries, tmax = (
         index.n, index.k, index.d_short, index.tries, index.tmax,
     )
@@ -39,17 +40,25 @@ def search_impl(index: ANNIndex, points, queries, block_rows: int):
     yc = q - index.row_means
     if d_short:
         proj = yc @ index.bases.reshape(tries * d_short, d).T
-        codes = pack_signs(proj.reshape(m, tries, d_short))  # (m, tries)
+        proj = proj.reshape(m, tries, d_short)
+        codes = pack_signs(proj)  # (m, tries)
     else:
+        proj = jnp.zeros((m, tries, 0), dtype)
         codes = jnp.zeros((m, tries), itype)
 
     table_idx = jnp.arange(tries, dtype=itype)[None, :, None]
 
-    def stage(qb, cb):
-        # multiprobe gather across all tables: (B, tries, ds+1, tmax)
-        probes = probe_codes(cb, d_short)  # (B, tries, ds+1)
+    def stage(qb, cb, pb):
+        # multiprobe gather across all tables: (B, tries, P, tmax).
+        # n_probes=None is the reference's blind Hamming-1 set
+        # (compute_which, compute.cl:238-246); an int selects that many
+        # query-directed probes (own + cheapest 1/2-bit flips).
+        if n_probes is None:
+            probes = probe_codes(cb, d_short)  # (B, tries, ds+1)
+        else:
+            probes = probe_codes_directed(cb, pb, n_probes)
         cand = index.tables[table_idx, probes]
-        cand = cand.reshape(cand.shape[0], -1)  # (B, tries*(ds+1)*tmax)
+        cand = cand.reshape(cand.shape[0], -1)  # (B, tries*P*tmax)
         dd = candidate_dists(qb, points, cand)
         t1, td1 = dedup_topk(cand, dd, k, n)
         # supercharge via the stored graph (alg.c:507-512)
@@ -61,11 +70,11 @@ def search_impl(index: ANNIndex, points, queries, block_rows: int):
         return dedup_topk(cand2, dd2, k, n)
 
     return blocked_over_rows(
-        stage, m, block_rows, q, codes, pad_values=(0.0, 0)
+        stage, m, block_rows, q, codes, proj, pad_values=(0.0, 0, 0.0)
     )
 
 
-_search_jit = partial(jax.jit, static_argnames=("block_rows",))(search_impl)
+_search_jit = partial(jax.jit, static_argnames=("block_rows", "n_probes"))(search_impl)
 
 
 def search(
@@ -75,6 +84,7 @@ def search(
     *,
     budget_bytes: int = 128 << 20,
     block_rows: int | None = None,
+    n_probes: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Find the k approximate nearest neighbors of each query.
 
@@ -84,6 +94,11 @@ def search(
     the case for metric='angular').  Queries are metric-preprocessed to
     match the build.  Returns (ids (m, k) int32 with sentinel n padding,
     squared distances (m, k) — on normalized vectors for angular).
+
+    ``n_probes``: None = the reference's probe set (own bucket + every
+    Hamming-1 bucket per table); an int enables query-directed multiprobe
+    (own + that many cheapest 1/2-bit flips) — more recall per probe, or
+    fewer probes at equal recall (quality/throughput knob).
     """
     if queries is None:  # search(index, queries) convenience form
         points, queries = None, points
@@ -100,10 +115,12 @@ def search(
         queries = prepare_points(jnp.asarray(queries, index.bases.dtype), index.metric)
     m = queries.shape[0]
     if block_rows is None:
-        ltot = index.tries * (index.d_short + 1) * index.tmax
+        P = index.d_short + 1 if n_probes is None else n_probes
+        ltot = index.tries * P * index.tmax
         block_rows = pick_block(
             m, ltot, index.d, jnp.dtype(index.bases.dtype).itemsize, budget_bytes
         )
     points = jnp.asarray(points, index.bases.dtype)
     queries = jnp.asarray(queries, index.bases.dtype)
-    return _search_jit(index, points, queries, block_rows)
+    return _search_jit(index, points, queries, block_rows=block_rows,
+                       n_probes=n_probes)

@@ -25,7 +25,8 @@ import time
 import numpy as np
 
 
-def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto"):
+def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto",
+               n_probes=None):
     import jax.numpy as jnp
 
     # device->host scalar read of the LAST output: the only reliable
@@ -52,18 +53,19 @@ def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto"):
     nq = min(batch, ds.queries.shape[0])
     Yd = jnp.asarray(ds.queries[:nq])
     pts = None if index.points is not None else Xd
-    ids, _ = ann.search(index, pts, Yd)
+    skw = dict(n_probes=n_probes)
+    ids, _ = ann.search(index, pts, Yd, **skw)
     drain([(ids,)])
 
     # throughput: pipelined dispatch, one fence over all outputs
     t0 = time.perf_counter()
-    outs = [ann.search(index, pts, Yd) for _ in range(reps)]
+    outs = [ann.search(index, pts, Yd, **skw) for _ in range(reps)]
     drain(outs)
     qps = nq * reps / (time.perf_counter() - t0)
     lat = []
     for _ in range(min(reps, 5)):
         t0 = time.perf_counter()
-        drain([ann.search(index, pts, Yd)])
+        drain([ann.search(index, pts, Yd, **skw)])
         lat.append(time.perf_counter() - t0)
 
     got = np.asarray(ids)
@@ -84,6 +86,8 @@ def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto"):
         "recall_at_k": round(recall, 4),
         "build_s": round(build_s, 3),
         "capacity": index.tmax,
+        "n_probes": n_probes if n_probes is not None else index.d_short + 1,
+        "probe_mode": "blind-h1" if n_probes is None else "directed",
         "qps": round(qps, 1),
         "latency_s": round(float(np.median(lat)), 6),
         "index_mb": round(index.memory_bytes() / 2**20, 1),
@@ -105,6 +109,9 @@ def main(argv=None) -> int:
                    help="bucket capacity: int, 'auto' (default), or 'exact' "
                         "(the reference's exact-max policy; can explode on "
                         "clustered data)")
+    p.add_argument("--n-probes", type=int, default=None,
+                   help="query-directed multiprobe count (default: the "
+                        "reference's blind Hamming-1 set, d_short+1 probes)")
     args = p.parse_args(argv)
     cap = {"auto": "auto", "exact": None}.get(args.capacity, args.capacity)
     if isinstance(cap, str) and cap not in ("auto",):
@@ -125,7 +132,7 @@ def main(argv=None) -> int:
     ds = datasets.load(args.dataset, max_n=args.max_n, max_queries=args.max_queries)
     for tries in args.tries:
         rec = run_config(ann, jax, ds, args.k, tries, args.batch, args.reps,
-                         args.seed, capacity=cap)
+                         args.seed, capacity=cap, n_probes=args.n_probes)
         print(json.dumps(rec), flush=True)
     return 0
 

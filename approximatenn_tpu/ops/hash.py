@@ -42,3 +42,49 @@ def probe_codes(codes: jax.Array, d_short: int) -> jax.Array:
         [jnp.zeros((1,), itype), jnp.ones((d_short,), itype) << jnp.arange(d_short, dtype=itype)]
     )
     return codes[..., None] ^ flips
+
+
+def probe_codes_directed(
+    codes: jax.Array, proj: jax.Array, n_probes: int
+) -> jax.Array:
+    """Query-directed multiprobe (extension over the reference's blind
+    Hamming-1 set): rank perturbations by how likely they are to hold the
+    true neighbor and take the best ``n_probes``.
+
+    A sign bit is uncertain when its projection is near zero, so a flip's
+    "cost" is |proj| for single-bit flips and |proj_i|+|proj_j| for 2-bit
+    flips (Lv et al., multi-probe LSH).  The candidate set is the own
+    bucket (cost 0) + all 1-bit flips + all 2-bit flips, selected by
+    k-pass argmin — static shapes throughout.
+
+    codes (..., ): packed sign codes; proj (..., d_short): the signed
+    projections that produced them (MSB-first, as pack_signs).  Returns
+    (..., n_probes) probe codes; the first is always the code itself.
+    """
+    from .topk import topk_iter
+
+    d_short = proj.shape[-1]
+    a = jnp.abs(proj)
+    # bit b (MSB-first) corresponds to coordinate index d_short-1-b in the
+    # packed code; build flip masks aligned to coordinate order
+    bit_of_coord = jnp.arange(d_short - 1, -1, -1, dtype=itype)
+    single_masks = (jnp.ones((), itype) << bit_of_coord)  # (ds,)
+    iu, ju = jnp.triu_indices(d_short, k=1)
+    pair_masks = single_masks[iu] | single_masks[ju]  # (ds*(ds-1)/2,)
+    single_cost = a  # (..., ds)
+    pair_cost = a[..., iu] + a[..., ju]  # (..., npairs)
+    costs = jnp.concatenate([single_cost, pair_cost], axis=-1)
+    masks = jnp.concatenate([single_masks, pair_masks])  # (ncand,)
+    n_extra = min(n_probes - 1, masks.shape[0])
+    pos, _ = topk_iter(costs, n_extra)  # (..., n_extra) cheapest flips
+    sel = masks[pos]
+    probes = jnp.concatenate(
+        [jnp.zeros(sel.shape[:-1] + (1,), itype), sel], axis=-1
+    )
+    out = codes[..., None] ^ probes
+    if n_extra + 1 < n_probes:  # n_probes exceeds candidate set: repeat own
+        pad = jnp.broadcast_to(
+            codes[..., None], codes.shape + (n_probes - n_extra - 1,)
+        )
+        out = jnp.concatenate([out, pad], axis=-1)
+    return out

@@ -229,3 +229,55 @@ class TestChunkedBuild:
         np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
         np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
         np.testing.assert_allclose(np.asarray(da), np.asarray(db), rtol=1e-6)
+
+
+class TestDirectedProbing:
+    def test_first_probe_is_own_code(self, rng):
+        from approximatenn_tpu.ops.hash import probe_codes_directed
+        import jax.numpy as jnp
+
+        proj = jnp.asarray(rng.standard_normal((7, 3, 5)).astype(np.float32))
+        from approximatenn_tpu.ops.hash import pack_signs
+        codes = pack_signs(proj)
+        probes = probe_codes_directed(codes, proj, 6)
+        assert probes.shape == (7, 3, 6)
+        np.testing.assert_array_equal(np.asarray(probes[..., 0]), np.asarray(codes))
+
+    def test_flip_costs_ordering(self):
+        """With one near-zero projection, the first extra probe must flip
+        exactly that coordinate's bit."""
+        from approximatenn_tpu.ops.hash import pack_signs, probe_codes_directed
+        import jax.numpy as jnp
+
+        proj = jnp.array([[[3.0, -0.01, 2.0, -1.5]]])  # coord 1 is uncertain
+        codes = pack_signs(proj)
+        probes = np.asarray(probe_codes_directed(codes, proj, 3))[0, 0]
+        own = int(np.asarray(codes)[0, 0])
+        # coord 1 (MSB-first) is bit d_short-1-1 = 2
+        assert probes[1] == own ^ (1 << 2)
+        # second extra: cheapest remaining = coord 3 (|-1.5|) -> bit 0
+        assert probes[2] == own ^ (1 << 0)
+
+    def test_directed_beats_blind_at_equal_probes(self, rng):
+        """On clustered data, query-directed probes (same count as the
+        reference's ds+1) must not lose recall."""
+        import jax.numpy as jnp
+        import approximatenn_tpu as ann
+        from approximatenn_tpu.data import clustered_gaussian
+        from approximatenn_tpu.ops.distance import brute_force_knn
+
+        base = clustered_gaussian(rng, 4000, 24, n_clusters=16, zipf=1.2)
+        Xd = jnp.asarray(base)
+        index, _, _ = ann.build(Xd, 10, tries=5, seed=3, capacity="auto")
+        q = jnp.asarray(base[rng.integers(0, 4000, 64)]
+                        + 0.05 * rng.standard_normal((64, 24)).astype(np.float32))
+        true_ids, _ = brute_force_knn(Xd, q, 10)
+
+        def recall(ids):
+            got, want = np.asarray(ids), np.asarray(true_ids)
+            return np.mean([len(set(got[i]) & set(want[i])) / 10 for i in range(64)])
+
+        blind, _ = ann.search(index, Xd, q)
+        directed, _ = ann.search(index, Xd, q, n_probes=index.d_short + 1)
+        r_blind, r_dir = recall(blind), recall(directed)
+        assert r_dir >= r_blind - 0.02  # at minimum: no regression
