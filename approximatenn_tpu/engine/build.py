@@ -33,7 +33,7 @@ from ..config import itype
 from ..index import ANNIndex
 from ..ops.buckets import bucket_counts, build_tables, multiprobe_gather
 from ..ops.distance import blocked_over_rows, candidate_dists, pick_block
-from ..ops.hash import pack_signs
+from ..ops.hash import pack_signs, probe_codes_directed
 from ..ops.topk import dedup_topk
 from ..ops.transforms import (
     derive_dims,
@@ -102,10 +102,16 @@ def hash_stage(points, key, *, d_short, tries, rb, rlb, ra, rla, dtype):
 _hash_stage = partial(jax.jit, static_argnames=("d_short", "tries", "rb", "rlb", "ra", "rla", "dtype"))(hash_stage)
 
 
-def graph_stage(points, codes, counts, *, k, d_short, tmax, block_rows):
+def graph_stage(points, codes, counts, *, k, d_short, tmax, block_rows,
+                n_probes=None, row_means=None, bases=None):
     """Stage 2 (static tmax): bucket tables, per-try candidates + top-k,
     merge, supercharge, final graph.  Distances are on raw coordinates
-    (``alg.c:410-411``)."""
+    (``alg.c:410-411``).
+
+    ``n_probes``: None = the reference's blind Hamming-1 probe set; an int
+    enables query-directed probing during the build (needs ``row_means`` +
+    ``bases`` to recompute projections per block — cheaper than storing
+    the (tries, n, d_short) projection tensor)."""
     n = points.shape[0]
     tries = codes.shape[0]
     nb = 1 << d_short
@@ -114,10 +120,15 @@ def graph_stage(points, codes, counts, *, k, d_short, tmax, block_rows):
 
     # --- per-try multiprobe + top-k (role of second_half, alg.c:245-290) ---
     def per_table(_, xs):
-        table, tcodes = xs
+        table, tcodes, basis = xs
 
         def stage(qb, rows, cb):
-            cand = multiprobe_gather(table, cb, d_short)
+            if n_probes is None:
+                cand = multiprobe_gather(table, cb, d_short)
+            else:
+                proj = (qb - row_means) @ basis.T
+                probes = probe_codes_directed(cb, proj, n_probes)
+                cand = table[probes].reshape(qb.shape[0], -1)
             dd = candidate_dists(qb, points, cand, exclude_self=rows)
             return dedup_topk(cand, dd, k, n)
 
@@ -127,7 +138,9 @@ def graph_stage(points, codes, counts, *, k, d_short, tmax, block_rows):
         )
         return None, (ids_k, d_k)
 
-    _, (tids, tdists) = jax.lax.scan(per_table, None, (tables, codes))
+    if bases is None:
+        bases = jnp.zeros((tries, d_short, points.shape[1]), points.dtype)
+    _, (tids, tdists) = jax.lax.scan(per_table, None, (tables, codes, bases))
 
     # --- cross-try merge (det_results first half, alg.c:303-315) ---
     cand1 = jnp.moveaxis(tids, 0, 1).reshape(n, tries * k)
@@ -157,7 +170,9 @@ def graph_stage(points, codes, counts, *, k, d_short, tmax, block_rows):
     return tables, graph, gdists
 
 
-_graph_stage = partial(jax.jit, static_argnames=("k", "d_short", "tmax", "block_rows"))(graph_stage)
+_graph_stage = partial(
+    jax.jit, static_argnames=("k", "d_short", "tmax", "block_rows", "n_probes")
+)(graph_stage)
 
 
 # ---------------------------------------------------------------------------
@@ -173,8 +188,9 @@ _graph_stage = partial(jax.jit, static_argnames=("k", "d_short", "tmax", "block_
 _MAX_BLOCKS_PER_CALL = 2048
 
 
-@partial(jax.jit, static_argnames=("k", "d_short", "block_rows"))
-def _probe_chunk(points, table, tcodes_chunk, row_lo, *, k, d_short, block_rows):
+@partial(jax.jit, static_argnames=("k", "d_short", "block_rows", "n_probes"))
+def _probe_chunk(points, table, tcodes_chunk, row_lo, row_means, basis,
+                 *, k, d_short, block_rows, n_probes=None):
     """Per-table per-row-chunk multiprobe + top-k (chunk of second_half).
     ``row_lo`` is traced so every chunk reuses one compilation."""
     n = points.shape[0]
@@ -182,7 +198,12 @@ def _probe_chunk(points, table, tcodes_chunk, row_lo, *, k, d_short, block_rows)
     rows = row_lo + jnp.arange(m, dtype=itype)
 
     def stage(qb, rr, cb):
-        cand = multiprobe_gather(table, cb, d_short)
+        if n_probes is None:
+            cand = multiprobe_gather(table, cb, d_short)
+        else:
+            proj = (qb - row_means) @ basis.T
+            probes = probe_codes_directed(cb, proj, n_probes)
+            cand = table[probes].reshape(qb.shape[0], -1)
         dd = candidate_dists(qb, points, cand, exclude_self=rr)
         return dedup_topk(cand, dd, k, n)
 
@@ -194,6 +215,7 @@ def _probe_chunk(points, table, tcodes_chunk, row_lo, *, k, d_short, block_rows)
 
 
 def graph_stage_chunked(points, codes, counts, *, k, d_short, tmax, block_rows,
+                        n_probes=None, row_means=None, bases=None,
                         progress=None):
     """Host-orchestrated graph build: identical results to
     :func:`graph_stage`, with every device program bounded."""
@@ -202,6 +224,10 @@ def graph_stage_chunked(points, codes, counts, *, k, d_short, tmax, block_rows,
     nb = 1 << d_short
     tables = build_tables(codes, nb, tmax, n)
     chunk = min(_MAX_BLOCKS_PER_CALL * block_rows, n)
+    if row_means is None:
+        row_means = jnp.zeros((points.shape[1],), points.dtype)
+    if bases is None:
+        bases = jnp.zeros((tries, d_short, points.shape[1]), points.dtype)
 
     per_table = []
     for t in range(tries):
@@ -211,8 +237,9 @@ def graph_stage_chunked(points, codes, counts, *, k, d_short, tmax, block_rows,
             ids_k, d_k = _probe_chunk(
                 points, tables[t],
                 jax.lax.dynamic_slice_in_dim(codes[t], lo, m),
-                jnp.asarray(lo, itype),
+                jnp.asarray(lo, itype), row_means, bases[t],
                 k=k, d_short=d_short, block_rows=block_rows,
+                n_probes=n_probes,
             )
             parts_i.append(ids_k)
             parts_d.append(d_k)
@@ -289,6 +316,7 @@ def build(
     budget_bytes: int = 128 << 20,
     metric: str = "l2",
     store_points: bool | None = None,
+    n_probes: int | None = None,
 ) -> tuple[ANNIndex, jax.Array, jax.Array]:
     """Build an index over ``points`` (n, d); returns (index, graph, dists).
 
@@ -304,6 +332,11 @@ def build(
     cluster.  "auto" keeps memory ~linear in n; overflowing points drop out
     of that one table but remain reachable through the other tries and the
     supercharge graph (recall impact gated in tests).
+
+    ``n_probes``: None = the reference's blind Hamming-1 probe set for the
+    graph build; an int uses query-directed probing
+    (:func:`~..ops.hash.probe_codes_directed`) — a higher-quality kNN graph
+    at the same candidate budget.
 
     ``metric``: 'l2' (the reference's only metric) or 'angular' — cosine
     via one up-front row normalization (``data.preprocess``).  For angular,
@@ -331,23 +364,25 @@ def build(
         ra=rots_after, rla=rot_len_after, dtype=dtype,
     )
     tmax = resolve_capacity(counts, capacity)
+    n_per_probe = d_short + 1 if n_probes is None else n_probes
     block_rows = pick_block(
-        n, (d_short + 1) * tmax, d, jnp.dtype(dtype).itemsize, budget_bytes
+        n, n_per_probe * tmax, d, jnp.dtype(dtype).itemsize, budget_bytes
     )
     points_f = jnp.asarray(points, dtype)
     # one monolithic program when it stays small enough for the runtime to
     # execute in a single launch; host-chunked otherwise (see
     # graph_stage_chunked's rationale)
     total_blocks = (tries + 1) * -(-n // block_rows)
+    pkw = dict(n_probes=n_probes, row_means=row_means, bases=bases)
     if total_blocks <= 16384:
         tables, graph, gdists = _graph_stage(
             points_f, codes, counts, k=k, d_short=d_short, tmax=tmax,
-            block_rows=block_rows,
+            block_rows=block_rows, **pkw,
         )
     else:
         tables, graph, gdists = graph_stage_chunked(
             points_f, codes, counts, k=k, d_short=d_short, tmax=tmax,
-            block_rows=block_rows,
+            block_rows=block_rows, **pkw,
         )
     index = ANNIndex(
         row_means=row_means, bases=bases, tables=tables, counts=counts,

@@ -281,3 +281,22 @@ class TestDirectedProbing:
         directed, _ = ann.search(index, Xd, q, n_probes=index.d_short + 1)
         r_blind, r_dir = recall(blind), recall(directed)
         assert r_dir >= r_blind - 0.02  # at minimum: no regression
+
+    def test_directed_build_graph_quality(self, rng):
+        """Directed probing during the build must not hurt graph recall."""
+        import jax.numpy as jnp
+        import approximatenn_tpu as ann
+        from approximatenn_tpu.ops.distance import brute_force_knn_self
+
+        base = rng.standard_normal((2000, 16)).astype(np.float32)
+        Xd = jnp.asarray(base)
+        ti, _ = brute_force_knn_self(Xd, 8)
+        want = np.asarray(ti)
+
+        def graph_recall(graph):
+            got = np.asarray(graph)
+            return np.mean([len(set(got[i]) & set(want[i])) / 8 for i in range(2000)])
+
+        _, g_blind, _ = ann.build(Xd, 8, tries=4, seed=5)
+        _, g_dir, _ = ann.build(Xd, 8, tries=4, seed=5, n_probes=12)
+        assert graph_recall(g_dir) >= graph_recall(g_blind) - 0.02
