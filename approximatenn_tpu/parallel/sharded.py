@@ -179,14 +179,17 @@ def search_sharded(
     mesh: Mesh,
     budget_bytes: int = 128 << 20,
     block_rows: int | None = None,
+    n_probes: int | None = None,
 ):
     """Distributed batch query: replicate queries, per-shard local search,
     ``all_gather`` the per-shard top-k over ICI, final merge top-k
-    (SURVEY.md §2.3 mandated collective pattern).  Returns global ids."""
+    (SURVEY.md §2.3 mandated collective pattern).  Returns global ids.
+    ``n_probes`` as in :func:`~..engine.search.search`."""
     k, n_local, n = sidx.k, sidx.n_local, sidx.n
     m = queries.shape[0]
     if block_rows is None:
-        ltot = sidx.tries * (sidx.d_short + 1) * sidx.tmax
+        nprb = sidx.d_short + 1 if n_probes is None else n_probes
+        ltot = sidx.tries * nprb * sidx.tmax
         block_rows = pick_block(m, ltot, sidx.d, 4, budget_bytes)
     points = _shard_points(jnp.asarray(points, sidx.bases.dtype), mesh)
     queries = jax.device_put(
@@ -209,7 +212,7 @@ def search_sharded(
             counts=counts_l[0], graph=graph_l[0], n=n_local, k=k, d=sidx.d,
             d_short=sidx.d_short, tries=sidx.tries, tmax=sidx.tmax,
         )
-        ids_l, dd = search_impl(local, pts_l, y, block_rows)
+        ids_l, dd = search_impl(local, pts_l, y, block_rows, n_probes)
         offset = jax.lax.axis_index(AXIS).astype(itype) * n_local
         gids, dd = _to_global(ids_l, dd, n_local, n, offset)
         all_ids = jax.lax.all_gather(gids, AXIS)  # (S, m, k)

@@ -46,7 +46,6 @@ def load_baseline():
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--full", action="store_true", help="also report build time + recall")
     ap.add_argument("--reps", type=int, default=20)
     args = ap.parse_args()
 
@@ -128,13 +127,14 @@ def main() -> int:
     if base:
         result["baseline_qps"] = base["qps"]
         result["build_vs_baseline"] = round(base["build_s"] / build_s, 2)
-    if args.full:
-        tq, _ = ann.brute_force_knn(Xd, Yd, k)
-        from approximatenn_tpu.harness.scoring import recall_at_k
+    # recall@k vs the exact oracle (cheap at this n; same algorithm family
+    # as the reference, so recall parity is the quality gate)
+    tq, _ = ann.brute_force_knn(Xd, Yd, k)
+    from approximatenn_tpu.harness.scoring import recall_at_k
 
-        result["recall_at_10"] = round(
-            recall_at_k(np.asarray(tq), np.asarray(ids), k), 4
-        )
+    result["recall_at_10"] = round(
+        recall_at_k(np.asarray(tq), np.asarray(ids), k), 4
+    )
     print(json.dumps(result))
     return 0
 
