@@ -374,7 +374,11 @@ def build(
     # graph_stage_chunked's rationale)
     total_blocks = (tries + 1) * -(-n // block_rows)
     pkw = dict(n_probes=n_probes, row_means=row_means, bases=bases)
-    if total_blocks <= 16384:
+    # the monolithic program is only trusted for small problems: large
+    # single programs (many blocks OR large n with big unrolled stage
+    # bodies) have crashed this TPU runtime's worker; the chunked driver
+    # is reliable at every scale tested
+    if total_blocks <= 4096 and n <= (1 << 18):
         tables, graph, gdists = _graph_stage(
             points_f, codes, counts, k=k, d_short=d_short, tmax=tmax,
             block_rows=block_rows, **pkw,
