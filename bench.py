@@ -127,6 +127,10 @@ def main() -> int:
     if base:
         result["baseline_qps"] = base["qps"]
         result["build_vs_baseline"] = round(base["build_s"] / build_s, 2)
+        if "recall_at_10" in base:
+            # the unmodified reference's recall on the SAME data (measured
+            # via baselines/ref_recall.c) — quality context for the ratio
+            result["baseline_recall_at_10"] = base["recall_at_10"]
     # recall@k vs the exact oracle (cheap at this n; same algorithm family
     # as the reference, so recall parity is the quality gate)
     tq, _ = ann.brute_force_knn(Xd, Yd, k)
