@@ -300,3 +300,47 @@ class TestDirectedProbing:
         _, g_blind, _ = ann.build(Xd, 8, tries=4, seed=5)
         _, g_dir, _ = ann.build(Xd, 8, tries=4, seed=5, n_probes=12)
         assert graph_recall(g_dir) >= graph_recall(g_blind) - 0.02
+
+
+class TestDepthView:
+    def test_with_depth_slices_tables(self, rng):
+        import jax.numpy as jnp
+        import approximatenn_tpu as ann
+
+        base = rng.standard_normal((2000, 16)).astype(np.float32)
+        Xd = jnp.asarray(base)
+        index, _, _ = ann.build(Xd, 8, tries=4, seed=1)
+        shallow = index.with_depth(3)
+        assert shallow.tmax == 3 and shallow.tables.shape[-1] == 3
+        np.testing.assert_array_equal(
+            np.asarray(shallow.tables), np.asarray(index.tables[:, :, :3])
+        )
+        # searching the view works and stays in-universe
+        ids, dd = ann.search(shallow, Xd, Xd[:16])
+        assert int(np.asarray(ids).max()) <= 2000
+        # no-op cases
+        assert index.with_depth(index.tmax + 5) is index
+        import pytest
+        with pytest.raises(ValueError):
+            index.with_depth(0)
+
+    def test_depth_recall_monotone(self, rng):
+        """Deeper reads can only help recall (same probes)."""
+        import jax.numpy as jnp
+        import approximatenn_tpu as ann
+        from approximatenn_tpu.data import clustered_gaussian
+        from approximatenn_tpu.ops.distance import brute_force_knn
+
+        base = clustered_gaussian(rng, 4000, 16, n_clusters=12, zipf=1.3)
+        Xd = jnp.asarray(base)
+        index, _, _ = ann.build(Xd, 10, tries=5, seed=2)
+        q = jnp.asarray(base[rng.integers(0, 4000, 64)]
+                        + 0.05 * rng.standard_normal((64, 16)).astype(np.float32))
+        want = np.asarray(brute_force_knn(Xd, q, 10)[0])
+
+        def recall(idx):
+            got = np.asarray(ann.search(idx, Xd, q)[0])
+            return np.mean([len(set(got[i]) & set(want[i])) / 10 for i in range(64)])
+
+        shallow, full = recall(index.with_depth(4)), recall(index)
+        assert full >= shallow - 1e-9
