@@ -100,9 +100,9 @@ def sample_ortho_params(
     dtype=jnp.float32,
 ) -> OrthoParams:
     """Sample one table's transform (role of ``make_ortho_info``, ``alg.c:59-74``)."""
-    if 2 * rot_len_before > d:
+    if rots_before > 0 and 2 * rot_len_before > d:
         raise ValueError(f"rot_len_before={rot_len_before} needs 2*len <= d={d}")
-    if 2 * rot_len_after > d_max:
+    if rots_after > 0 and 2 * rot_len_after > d_max:
         raise ValueError(f"rot_len_after={rot_len_after} needs 2*len <= d_max={d_max}")
     kb, ka, kpb, kpa = jax.random.split(key, 4)
 

@@ -344,3 +344,50 @@ class TestDepthView:
 
         shallow, full = recall(index.with_depth(4)), recall(index)
         assert full >= shallow - 1e-9
+
+
+class TestEdgeCases:
+    def test_tiny_index(self, rng):
+        import jax.numpy as jnp
+        import approximatenn_tpu as ann
+
+        p = jnp.asarray(rng.standard_normal((3, 5)).astype(np.float32))
+        idx, g, _ = ann.build(p, 2, tries=2)
+        assert g.shape == (3, 2)
+        ids, dd = ann.search(idx, p, p)
+        got = np.asarray(ids)
+        assert got.shape == (3, 2) and got.max() <= 3
+
+    def test_single_point(self, rng):
+        import jax.numpy as jnp
+        import approximatenn_tpu as ann
+
+        p = jnp.asarray(rng.standard_normal((1, 4)).astype(np.float32))
+        idx, g, _ = ann.build(p, 1, tries=1)
+        ids, dd = ann.search(idx, p, p)
+        # the only point is its own excluded self in the graph; query finds it
+        assert np.asarray(ids)[0, 0] in (0, 1)
+
+    def test_d_one(self, rng):
+        import jax.numpy as jnp
+        import approximatenn_tpu as ann
+        from approximatenn_tpu.ops.distance import brute_force_knn
+
+        p = jnp.asarray(rng.standard_normal((200, 1)).astype(np.float32))
+        q = p[:9]
+        idx, _, _ = ann.build(p, 5, tries=3, rots_before=0, rots_after=0)
+        ids, _ = ann.search(idx, p, q)
+        want = np.asarray(brute_force_knn(p, q, 5)[0])
+        got = np.asarray(ids)
+        rec = np.mean([len(set(got[i]) & set(want[i])) / 5 for i in range(9)])
+        assert rec > 0.5
+
+    def test_odd_dimension(self, rng):
+        import jax.numpy as jnp
+        import approximatenn_tpu as ann
+
+        p = jnp.asarray(rng.standard_normal((500, 37)).astype(np.float32))
+        idx, g, _ = ann.build(p, 6, tries=3)
+        assert idx.bases.shape[-1] == 37
+        ids, _ = ann.search(idx, p, p[:8], n_probes=10)
+        assert np.asarray(ids).shape == (8, 6)

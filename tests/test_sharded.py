@@ -148,3 +148,16 @@ class TestCheckpoint:
         save_sharded_index(sidx, tmp_path / "ck")
         with pytest.raises(ValueError, match="shards"):
             load_sharded_index(tmp_path / "ck", make_mesh(2))
+
+
+def test_sharded_directed_probes(rng):
+    from approximatenn_tpu.parallel.sharded import (
+        build_sharded, make_mesh, search_sharded,
+    )
+
+    mesh = make_mesh(4)
+    pts = rng.standard_normal((512, 12)).astype(np.float32)
+    q = rng.standard_normal((7, 12)).astype(np.float32)
+    sidx = build_sharded(pts, 5, mesh=mesh, tries=3, seed=1)
+    a = search_sharded(sidx, pts, q, mesh=mesh, n_probes=6)
+    assert np.asarray(a[0]).shape == (7, 5)
