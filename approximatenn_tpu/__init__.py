@@ -21,6 +21,7 @@ from .engine.build import build, build_graph_only
 from .engine.search import search
 from .index import ANNIndex
 from .ops.distance import brute_force_knn, brute_force_knn_self
+from .ops.pallas_exact import exact_search
 
 __version__ = "0.1.0"
 
@@ -59,5 +60,6 @@ def query(index: ANNIndex, points, y, **kw):
 
 __all__ = [
     "ANNIndex", "build", "build_graph_only", "search", "precomp", "query",
-    "brute_force_knn", "brute_force_knn_self", "ftype", "itype", "set_ftype",
+    "brute_force_knn", "brute_force_knn_self", "exact_search",
+    "ftype", "itype", "set_ftype",
 ]
