@@ -18,8 +18,8 @@ for users coming from the C API.
 
 from .config import ftype, itype, set_ftype
 from .engine.build import build, build_graph_only
-from .engine.search import search
-from .index import ANNIndex
+from .engine.search import search, search_packed
+from .index import ANNIndex, PackedIndex
 from .ops.distance import brute_force_knn, brute_force_knn_self
 from .ops.pallas_exact import exact_search
 
@@ -59,7 +59,8 @@ def query(index: ANNIndex, points, y, **kw):
 
 
 __all__ = [
-    "ANNIndex", "build", "build_graph_only", "search", "precomp", "query",
+    "ANNIndex", "PackedIndex", "build", "build_graph_only", "search",
+    "search_packed", "precomp", "query",
     "brute_force_knn", "brute_force_knn_self", "exact_search",
     "ftype", "itype", "set_ftype",
 ]

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import itype
-from ..index import ANNIndex
+from ..index import ANNIndex, PackedIndex
 from ..ops.distance import blocked_over_rows, candidate_dists, pick_block
 from ..ops.hash import pack_signs, probe_codes, probe_codes_directed
 from ..ops.topk import dedup_topk
@@ -75,6 +75,138 @@ def search_impl(index: ANNIndex, points, queries, block_rows: int,
 
 
 _search_jit = partial(jax.jit, static_argnames=("block_rows", "n_probes"))(search_impl)
+
+
+def search_packed_impl(pi: PackedIndex, points, queries, block_rows: int,
+                       n_probes: int | None = None):
+    """Query pipeline over the packed (bucket-CSR wide-row) layout.
+
+    Same algorithm as :func:`search_impl`; the candidate stage differs:
+
+    - each probe gathers the ``rows_per_probe`` lane-aligned super-rows
+      covering ``[starts[t, probe], +window)`` from ``point_rows`` — the
+      candidate *vectors* arrive in the gather itself (no table lookup,
+      no per-candidate gather through point ids);
+    - the per-table top-k dedups by packed *position* (a point occupies
+      exactly one slot per table, so slot index is a free within-table
+      id — overlapping probe windows carry the same slot at equal
+      distance and are masked just like id duplicates);
+    - original ids are gathered only for the ``tries * k`` per-table
+      winners (tiny), then the cross-table merge dedups by real id.
+
+    Alignment spillover admits extra real candidates (superset semantics;
+    see ``ANNIndex.packed``).
+    """
+    n, k, d_short, tries = pi.n, pi.k, pi.d_short, pi.tries
+    w, d = pi.super_width, pi.d
+    nrows = pi.n_rows
+    n_pad = nrows * w
+    rpp = pi.rows_per_probe()
+    dtype = pi.bases.dtype
+    cdtype = pi.point_rows.dtype  # candidate/compute dtype (may be bf16)
+    m = queries.shape[0]
+    q = queries.astype(dtype)
+    yc = q - pi.row_means
+    if d_short:
+        proj = yc @ pi.bases.reshape(tries * d_short, d).T
+        proj = proj.reshape(m, tries, d_short)
+        codes = pack_signs(proj)
+    else:
+        proj = jnp.zeros((m, tries, 0), dtype)
+        codes = jnp.zeros((m, tries), itype)
+
+    table_idx = jnp.arange(tries, dtype=itype)[None, :, None]
+    row_off = (jnp.arange(tries, dtype=itype) * nrows)[None, :, None, None]
+    step = jnp.arange(rpp, dtype=itype)
+    ids_flat = pi.ids.reshape(-1)  # (tries * n_pad,)
+    lane = jnp.arange(w, dtype=itype)
+
+    def stage(qb, cb, pb):
+        B = qb.shape[0]
+        if n_probes is None:
+            probes = probe_codes(cb, d_short)  # (B, tries, P)
+        else:
+            probes = probe_codes_directed(cb, pb, n_probes)
+        start = pi.starts[table_idx, probes]  # (B, tries, P)
+        rows = jnp.minimum(start[..., None] // w + step, nrows - 1)
+        flat = (rows + row_off).reshape(B, -1)  # (B, tries*P*rpp)
+        pc = pi.point_rows[flat].reshape(B, tries, -1, d)  # (B, T, Lt, d)
+        diff = qb.astype(cdtype)[:, None, None, :] - pc
+        dd = jnp.sum(diff * diff, axis=-1).astype(dtype)  # (B, T, Lt)
+        # within-table positional slot of every candidate (no gather);
+        # slots >= n are the packed tail padding (pack_table places all n
+        # real points first), so the sentinel mask is purely positional
+        pos = (rows[..., None] * w + lane).reshape(B, tries, -1)  # (B, T, Lt)
+        dd = jnp.where(pos < n, dd, jnp.asarray(jnp.inf, dd.dtype))
+        tpos, tdist = dedup_topk(pos, dd, k, n_pad)  # (B, T, k) positional
+        # real ids for the T*k winners only
+        gpos = tpos + (jnp.arange(tries, dtype=itype) * n_pad)[None, :, None]
+        wids = ids_flat[jnp.minimum(gpos, ids_flat.shape[0] - 1)]
+        wids = jnp.where(jnp.isinf(tdist), n, wids)
+        t1, td1 = dedup_topk(
+            wids.reshape(B, -1), tdist.reshape(B, -1), k, n
+        )
+        safe = jnp.where(t1 < n, t1, 0)
+        exp = jnp.where((t1 < n)[..., None], pi.graph[safe], n)
+        cand2 = jnp.concatenate([t1, exp.reshape(-1, k * k)], axis=-1)
+        dd2 = candidate_dists(qb, points, exp.reshape(-1, k * k))
+        dd2 = jnp.concatenate([td1, dd2], axis=-1)
+        return dedup_topk(cand2, dd2, k, n)
+
+    return blocked_over_rows(
+        stage, m, block_rows, q, codes, proj, pad_values=(0.0, 0, 0.0)
+    )
+
+
+_search_packed_jit = partial(
+    jax.jit, static_argnames=("block_rows", "n_probes")
+)(search_packed_impl)
+
+
+def search_packed(
+    pindex: PackedIndex,
+    points=None,
+    queries=None,
+    *,
+    budget_bytes: int = 128 << 20,
+    block_rows: int | None = None,
+    n_probes: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """High-throughput search over a packed view (``index.packed()``).
+
+    Same contract as :func:`search` — (ids, squared dists), sentinel n
+    padding — with the packed candidate superset semantics.  ``points`` is
+    only needed for the supercharge distance pass; the view stores it by
+    default.  The serve-time knobs: ``pindex.with_window(w)`` (read depth)
+    and ``n_probes`` (probe count, None = blind Hamming-1 set).
+    """
+    if queries is None:
+        points, queries = None, points
+    if points is None:
+        if pindex.points is None:
+            raise ValueError(
+                "packed view does not store points; pass the build-time "
+                "point matrix or pack with store_points=True"
+            )
+        points = pindex.points
+    if pindex.metric != "l2":
+        from ..data.preprocess import prepare_points
+
+        queries = prepare_points(
+            jnp.asarray(queries, pindex.bases.dtype), pindex.metric
+        )
+    m = queries.shape[0]
+    if block_rows is None:
+        P = pindex.d_short + 1 if n_probes is None else n_probes
+        ltot = pindex.tries * P * pindex.rows_per_probe() * pindex.super_width
+        block_rows = pick_block(
+            m, ltot, pindex.d, jnp.dtype(pindex.bases.dtype).itemsize,
+            budget_bytes,
+        )
+    points = jnp.asarray(points, pindex.bases.dtype)
+    queries = jnp.asarray(queries, pindex.bases.dtype)
+    return _search_packed_jit(pindex, points, queries, block_rows=block_rows,
+                              n_probes=n_probes)
 
 
 def search(

@@ -26,7 +26,8 @@ import numpy as np
 
 
 def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto",
-               n_probes=None):
+               n_probes=None, packed=False, window=None, super_width=16,
+               packed_dtype=None):
     import jax.numpy as jnp
 
     # device->host scalar read of the LAST output: the only reliable
@@ -54,18 +55,32 @@ def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto",
     Yd = jnp.asarray(ds.queries[:nq])
     pts = None if index.points is not None else Xd
     skw = dict(n_probes=n_probes)
-    ids, _ = ann.search(index, pts, Yd, **skw)
+    if packed:
+        pdt = {"bf16": jnp.bfloat16, "f32": jnp.float32, None: None}.get(
+            packed_dtype, packed_dtype
+        )
+        pview = index.packed(
+            Xd if index.points is None else None,
+            window=window, super_width=super_width, dtype=pdt,
+        )
+        drain([(pview.point_rows,)])
+        do_search = lambda: ann.search_packed(pview, pts, Yd, **skw)  # noqa: E731
+        index_mb = pview.memory_bytes() / 2**20
+    else:
+        do_search = lambda: ann.search(index, pts, Yd, **skw)  # noqa: E731
+        index_mb = index.memory_bytes() / 2**20
+    ids, _ = do_search()
     drain([(ids,)])
 
     # throughput: pipelined dispatch, one fence over all outputs
     t0 = time.perf_counter()
-    outs = [ann.search(index, pts, Yd, **skw) for _ in range(reps)]
+    outs = [do_search() for _ in range(reps)]
     drain(outs)
     qps = nq * reps / (time.perf_counter() - t0)
     lat = []
     for _ in range(min(reps, 5)):
         t0 = time.perf_counter()
-        drain([ann.search(index, pts, Yd, **skw)])
+        drain([do_search()])
         lat.append(time.perf_counter() - t0)
 
     got = np.asarray(ids)
@@ -90,7 +105,14 @@ def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto",
         "probe_mode": "blind-h1" if n_probes is None else "directed",
         "qps": round(qps, 1),
         "latency_s": round(float(np.median(lat)), 6),
-        "index_mb": round(index.memory_bytes() / 2**20, 1),
+        "index_mb": round(index_mb, 1),
+        "layout": "packed" if packed else "table",
+        **(
+            {"window": pview.window, "super_width": pview.super_width,
+             "packed_dtype": str(np.dtype(packed_dtype or "float32"))
+             if packed_dtype != "bf16" else "bfloat16"}
+            if packed else {}
+        ),
     }
 
 
@@ -112,6 +134,14 @@ def main(argv=None) -> int:
     p.add_argument("--n-probes", type=int, default=None,
                    help="query-directed multiprobe count (default: the "
                         "reference's blind Hamming-1 set, d_short+1 probes)")
+    p.add_argument("--packed", action="store_true",
+                   help="serve through the packed bucket-CSR wide-row view")
+    p.add_argument("--window", type=int, default=None,
+                   help="packed per-probe read depth in points (default tmax)")
+    p.add_argument("--super-width", type=int, default=16,
+                   help="packed super-row width in points")
+    p.add_argument("--packed-dtype", default=None, choices=[None, "f32", "bf16"],
+                   help="packed vector storage dtype")
     args = p.parse_args(argv)
     cap = {"auto": "auto", "exact": None}.get(args.capacity, args.capacity)
     if isinstance(cap, str) and cap not in ("auto",):
@@ -132,7 +162,10 @@ def main(argv=None) -> int:
     ds = datasets.load(args.dataset, max_n=args.max_n, max_queries=args.max_queries)
     for tries in args.tries:
         rec = run_config(ann, jax, ds, args.k, tries, args.batch, args.reps,
-                         args.seed, capacity=cap, n_probes=args.n_probes)
+                         args.seed, capacity=cap, n_probes=args.n_probes,
+                         packed=args.packed, window=args.window,
+                         super_width=args.super_width,
+                         packed_dtype=args.packed_dtype)
         print(json.dumps(rec), flush=True)
     return 0
 

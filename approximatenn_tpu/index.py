@@ -58,6 +58,91 @@ class ANNIndex:
     def n_buckets(self) -> int:
         return 1 << self.d_short
 
+    def packed(
+        self,
+        points=None,
+        *,
+        window: int | None = None,
+        super_width: int = 2,
+        dtype=None,
+        store_points: bool = True,
+    ) -> "PackedIndex":
+        """Build the packed serving view — the high-throughput query layout.
+
+        Measured on v5e (scripts/exp_gather3.py), XLA's row gather costs
+        ~3-4 ns per row for rows up to ~1 KB and *degrades* beyond (8 KB
+        rows run 4x slower at constant volume), ceiling ~230-260M
+        candidate-points/s in any dtype.  The packed view stores each
+        table's points contiguously by bucket (CSR, exactly n slots per
+        table — no capacity padding, no overflow drops) reshaped into
+        super-rows of ``super_width`` points (default 2 = 1 KB f32 rows at
+        d=128, the measured sweet spot); a probe gathers the aligned
+        super-rows covering ``[start, start + window)`` and gets the
+        candidate *vectors* directly — halving row count vs the padded
+        table path and skipping its second gather through point ids.
+        Super-rows swept in by alignment spill across bucket boundaries;
+        the extra entries are real points and simply join the candidate
+        pool (dedup keeps min-distance copies), so the packed path's
+        candidate set is a superset of the padded table's at
+        ``window >= tmax``.
+
+        ``window``: per-probe read depth in points (default: this view's
+        ``tmax``) — the serve-time speed/recall knob, like ``with_depth``.
+        ``dtype``: storage dtype of the packed vectors (default: the index
+        float dtype; ``jnp.bfloat16`` halves gather bandwidth, distances are
+        then bf16-accurate — rerank externally if that matters).
+        ``points``: the build-time point matrix (or None to use stored).
+        ``store_points`` keeps the raw points on the view for supercharge +
+        serving convenience.
+        """
+        if points is None:
+            points = self.points
+        if points is None:
+            raise ValueError(
+                "packed() needs the build-time points: pass them or build "
+                "with store_points=True"
+            )
+        points = jnp.asarray(points)
+        if window is None:
+            window = self.tmax
+        window = max(1, int(window))
+        w = max(1, int(super_width))
+        dtype = jnp.dtype(points.dtype if dtype is None else dtype)
+        n, d = points.shape
+        n_rows = -(-(n + 1) // w)  # ceil over n+1: slot for sentinel id n
+        n_pad = n_rows * w
+        from .ops.buckets import pack_tables
+
+        # codes are recomputed from the stored bases (cheap: one matmul);
+        # avoids persisting build-time codes on the index
+        from .ops.hash import pack_signs
+
+        if self.d_short:
+            centered = points.astype(self.bases.dtype) - self.row_means
+            proj = centered @ self.bases.reshape(
+                self.tries * self.d_short, d
+            ).T
+            codes = pack_signs(proj.reshape(n, self.tries, self.d_short))
+        else:
+            codes = jnp.zeros((n, self.tries), jnp.int32)
+        order, starts = pack_tables(codes.T, self.n_buckets)
+        pad = jnp.full((self.tries, n_pad - n), n, order.dtype)
+        ids = jnp.concatenate([order, pad], axis=1)  # (tries, n_pad)
+        safe = jnp.where(ids < n, ids, 0)
+        pts = points.astype(dtype)[safe]  # (tries, n_pad, d)
+        return PackedIndex(
+            row_means=self.row_means,
+            bases=self.bases,
+            point_rows=pts.reshape(self.tries * n_rows, w * d),
+            ids=ids,
+            starts=starts,
+            graph=self.graph,
+            points=points if store_points else None,
+            n=n, k=self.k, d=d, d_short=self.d_short,
+            tries=self.tries, window=window, super_width=w,
+            metric=self.metric,
+        )
+
     def with_depth(self, depth: int) -> "ANNIndex":
         """A view of this index whose bucket reads stop at ``depth`` slots.
 
@@ -113,15 +198,85 @@ class ANNIndex:
 
     @classmethod
     def load(cls, path: str) -> "ANNIndex":
-        z = np.load(path)
-        n, k, d, d_short, tries, tmax = (int(v) for v in z["meta"])
-        return cls(
-            row_means=jnp.asarray(z["row_means"]),
-            bases=jnp.asarray(z["bases"]),
-            tables=jnp.asarray(z["tables"]),
-            counts=jnp.asarray(z["counts"]),
-            graph=jnp.asarray(z["graph"]),
-            n=n, k=k, d=d, d_short=d_short, tries=tries, tmax=tmax,
-            points=jnp.asarray(z["points"]) if "points" in z else None,
-            metric=str(z["metric"]) if "metric" in z else "l2",
+        return _load_annindex(cls, path)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PackedIndex:
+    """The packed serving view of an :class:`ANNIndex` — see
+    :meth:`ANNIndex.packed` for the layout rationale.
+
+    Array leaves: ``point_rows (tries * n_rows, super_width * d)`` packed
+    candidate vectors in bucket-CSR order, lane-aligned (no id lanes —
+    scoring dedups by packed *position*, which is free, and the real ids
+    are gathered only for the few per-table winners); ``ids (tries,
+    n_pad)`` the packed-slot -> original-id map (sentinel n pads the
+    tail); ``starts (tries, 2^d_short)`` CSR bucket offsets into each
+    table's n-slot segment; plus the query-side fields shared with the
+    padded index (``row_means``, ``bases``, ``graph``, optional raw
+    ``points`` for supercharge).
+    """
+
+    row_means: Any
+    bases: Any  # (tries, d_short, d)
+    point_rows: Any  # (tries * n_rows, super_width * d), float dtype
+    ids: Any  # (tries, n_pad) int32, sentinel n in padding slots
+    starts: Any  # (tries, 2^d_short) int32
+    graph: Any  # (n, k) int32
+    points: Any  # (n, d) or None — needed at search time for supercharge
+    n: int = dataclasses.field(metadata=dict(static=True))
+    k: int = dataclasses.field(metadata=dict(static=True))
+    d: int = dataclasses.field(metadata=dict(static=True))
+    d_short: int = dataclasses.field(metadata=dict(static=True))
+    tries: int = dataclasses.field(metadata=dict(static=True))
+    window: int = dataclasses.field(metadata=dict(static=True))
+    super_width: int = dataclasses.field(metadata=dict(static=True))
+    metric: str = dataclasses.field(default="l2", metadata=dict(static=True))
+
+    @property
+    def n_buckets(self) -> int:
+        return 1 << self.d_short
+
+    @property
+    def n_rows(self) -> int:
+        return self.point_rows.shape[0] // self.tries
+
+    def rows_per_probe(self, window: int | None = None) -> int:
+        """Aligned super-rows needed to cover ``[start, start + window)``
+        for any start: ceil(window / w) + 1 (start can sit anywhere inside
+        its first super-row)."""
+        window = self.window if window is None else window
+        return min(-(-window // self.super_width) + 1, self.n_rows)
+
+    def with_window(self, window: int) -> "PackedIndex":
+        """Same view, different per-probe read depth (free — the knob is
+        how many aligned super-rows the query gathers per probe)."""
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        return dataclasses.replace(self, window=window)
+
+    def memory_bytes(self) -> int:
+        f = np.dtype(np.asarray(self.row_means).dtype).itemsize
+        base = self.row_means.size * f + self.bases.size * f + self.graph.size * 4
+        packed = (
+            self.point_rows.size * np.dtype(np.asarray(self.point_rows).dtype).itemsize
+            + self.ids.size * 4 + self.starts.size * 4
         )
+        pts = 0 if self.points is None else self.points.size * f
+        return int(base + packed + pts)
+
+
+def _load_annindex(cls, path: str) -> "ANNIndex":
+    z = np.load(path)
+    n, k, d, d_short, tries, tmax = (int(v) for v in z["meta"])
+    return cls(
+        row_means=jnp.asarray(z["row_means"]),
+        bases=jnp.asarray(z["bases"]),
+        tables=jnp.asarray(z["tables"]),
+        counts=jnp.asarray(z["counts"]),
+        graph=jnp.asarray(z["graph"]),
+        n=n, k=k, d=d, d_short=d_short, tries=tries, tmax=tmax,
+        points=jnp.asarray(z["points"]) if "points" in z else None,
+        metric=str(z["metric"]) if "metric" in z else "l2",
+    )

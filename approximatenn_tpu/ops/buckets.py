@@ -50,6 +50,32 @@ def build_tables(codes: jax.Array, n_buckets: int, capacity: int, sentinel: int)
     return jax.vmap(lambda c: build_table(c, n_buckets, capacity, sentinel))(codes)
 
 
+def pack_table(codes: jax.Array, n_buckets: int) -> tuple[jax.Array, jax.Array]:
+    """CSR layout of one table: point ids sorted by bucket code, plus the
+    start offset of every bucket in that order.
+
+    Unlike :func:`build_table` (padded ``(n_buckets, capacity)``), this
+    stores each table in exactly ``n`` slots with **no padding and no
+    overflow drops** — the layout behind the packed fast-path gather
+    (:meth:`approximatenn_tpu.index.ANNIndex.packed`).  Returns
+    ``(order (n,), starts (n_buckets,))``: bucket ``b`` owns
+    ``order[starts[b]:starts[b+1]]`` (``starts`` is monotone; the implicit
+    final boundary is ``n``).
+    """
+    order = jnp.argsort(codes, stable=True).astype(itype)
+    sorted_codes = codes[order]
+    starts = jnp.searchsorted(
+        sorted_codes, jnp.arange(n_buckets, dtype=sorted_codes.dtype), side="left"
+    ).astype(itype)
+    return order, starts
+
+
+def pack_tables(codes: jax.Array, n_buckets: int) -> tuple[jax.Array, jax.Array]:
+    """Stacked :func:`pack_table`: ``(tries, n)`` codes ->
+    ``(order (tries, n), starts (tries, n_buckets))``."""
+    return jax.vmap(lambda c: pack_table(c, n_buckets))(codes)
+
+
 def multiprobe_gather(table: jax.Array, codes: jax.Array, d_short: int) -> jax.Array:
     """Gather multiprobe candidates for each code.
 

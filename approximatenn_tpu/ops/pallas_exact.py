@@ -50,7 +50,7 @@ def _extract_min(dd: jax.Array, ids: jax.Array):
     return dmin, imin
 
 
-def _kernel(q_ref, qn_ref, excl_ref, pts_ref, out_i_ref, out_d_ref,
+def _kernel(q_ref, qn_ref, excl_ref, pts_ref, pn_ref, out_i_ref, out_d_ref,
             run_d, run_i, *, k: int, n: int, tile: int, n_tiles: int):
     t = pl.program_id(1)
 
@@ -59,12 +59,16 @@ def _kernel(q_ref, qn_ref, excl_ref, pts_ref, out_i_ref, out_d_ref,
         run_d[:] = jnp.full(run_d.shape, jnp.inf, run_d.dtype)
         run_i[:] = jnp.full(run_i.shape, n, run_i.dtype)
 
-    qb = q_ref[:]  # (B, d)
-    tile_pts = pts_ref[:]  # (T, d)
+    qb = q_ref[:]  # (B, d) in the compute dtype
+    tile_pts = pts_ref[:]  # (T, d) in the compute dtype
     base = t * tile
     gids = base + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)  # (1, T)
 
-    pn = jnp.sum(tile_pts * tile_pts, axis=-1)[None, :]  # (1, T)
+    # pn is precomputed in f32 from the UNROUNDED points (one pass over n,
+    # hoisted out of the kernel — the in-kernel form recomputed it per
+    # query block); the MXU dot accumulates in f32 whatever the input
+    # dtype, so bf16 inputs only round the factors, not the sums.
+    pn = pn_ref[:]  # (1, T) f32
     dots = jax.lax.dot_general(
         qb, tile_pts,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -77,33 +81,57 @@ def _kernel(q_ref, qn_ref, excl_ref, pts_ref, out_i_ref, out_d_ref,
 
     # fast path: once the running top-k is warm, most tiles contain no
     # candidate that beats any row's current worst — one min/max sweep
-    # detects that and skips the k-round merge entirely (the merge is the
-    # kernel's dominant VPU cost; late tiles skip with probability
-    # -> 1 as ~k*B/rows_seen shrinks)
+    # detects that and skips the merge entirely; and when a tile does
+    # improve some rows, a while-loop runs only as many insert rounds as
+    # candidates actually beat the running worst (post-warmup: usually 1,
+    # worst case k) instead of always k.  This is what keeps the VPU from
+    # binding the kernel: the mandatory per-tile cost is one min sweep.
     tile_min = jnp.min(dd, axis=-1, keepdims=True)  # (B, 1)
     run_worst = jnp.max(run_d[:], axis=-1, keepdims=True)  # (B, 1)
     any_improves = jnp.any(tile_min < run_worst)
 
     @pl.when(any_improves)
     def _merge():
-        # k rounds of (tile min) vs (running worst) replacement
-        dd_ = dd
-        cur_d, cur_i = run_d[:], run_i[:]
-        kiota = jax.lax.broadcasted_iota(jnp.int32, cur_d.shape, 1)
-        for _ in range(k):
+        kiota = jax.lax.broadcasted_iota(jnp.int32, run_d.shape, 1)
+        big = jnp.iinfo(jnp.int32).max
+
+        def insert(state):
+            it, dd_, cur_d, cur_i = state
             dmin, imin = _extract_min(dd_, gids)
             wmax = jnp.max(cur_d, axis=-1, keepdims=True)
             # the worst running slot (ties -> smallest slot index)
-            big = jnp.iinfo(jnp.int32).max
             wslot = jnp.min(jnp.where(cur_d == wmax, kiota, big), axis=-1,
                             keepdims=True)
-            better = dmin < wmax  # (B, 1)
-            hit = better & (kiota == wslot)
+            hit = (dmin < wmax) & (kiota == wslot)
             cur_d = jnp.where(hit, dmin, cur_d)
             cur_i = jnp.where(hit, imin, cur_i)
             dd_ = jnp.where(gids == imin, jnp.inf, dd_)
-        run_d[:] = cur_d
-        run_i[:] = cur_i
+            return it + 1, dd_, cur_d, cur_i
+
+        if n_tiles <= 8:
+            # few tiles: most steps merge anyway — unrolled k rounds beat
+            # the while-loop's per-round convergence re-check
+            state = (jnp.int32(0), dd, run_d[:], run_i[:])
+            for _ in range(k):
+                state = insert(state)
+            _, _, out_d, out_i = state
+        else:
+            # long streams: post-warmup a tile rarely beats more than one
+            # running slot — run only as many insert rounds as candidates
+            # actually improve (worst case k)
+            def cond(state):
+                it, dd_, cur_d, _ = state
+                still = jnp.any(
+                    jnp.min(dd_, axis=-1, keepdims=True)
+                    < jnp.max(cur_d, axis=-1, keepdims=True)
+                )
+                return (it < k) & still
+
+            _, _, out_d, out_i = jax.lax.while_loop(
+                cond, insert, (jnp.int32(0), dd, run_d[:], run_i[:])
+            )
+        run_d[:] = out_d
+        run_i[:] = out_i
 
     @pl.when(t == n_tiles - 1)
     def _emit():
@@ -124,7 +152,7 @@ def _kernel(q_ref, qn_ref, excl_ref, pts_ref, out_i_ref, out_d_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tile", "query_block", "interpret"),
+    static_argnames=("k", "tile", "query_block", "interpret", "compute_dtype"),
 )
 def exact_knn_pallas(
     points: jax.Array,
@@ -133,8 +161,9 @@ def exact_knn_pallas(
     *,
     exclude: jax.Array | None = None,
     tile: int | None = None,
-    query_block: int = 256,
+    query_block: int | None = None,
     interpret: bool = False,
+    compute_dtype=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact k nearest neighbors, fused streaming kernel.
 
@@ -143,12 +172,20 @@ def exact_knn_pallas(
     (ids (m, k) int32 ascending by distance, squared distances (m, k)),
     sentinel id = n past the real candidates.  ``interpret=True`` runs the
     identical kernel on CPU (how the tests validate it without a TPU).
+
+    ``compute_dtype``: dtype the MXU dot runs in (default float32).
+    ``jnp.bfloat16`` halves the point-stream bytes and raises the MXU rate
+    several-fold on TPU; accumulation stays f32 and the norm terms are
+    computed from the unrounded inputs, so only the factors are rounded —
+    at 1M-scale the nearest-neighbor sets are near-identical (gated by
+    tests/test_pallas.py).
     """
     n, d = points.shape
     m = queries.shape[0]
     if k > 128:
         raise ValueError("exact_knn_pallas supports k <= 128 (unrolled selection)")
     f32 = jnp.float32
+    cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else jnp.dtype(f32)
     points = points.astype(f32)
     queries = queries.astype(f32)
     if exclude is None:
@@ -160,8 +197,17 @@ def exact_knn_pallas(
         # (query_block, tile) distance block and the double-buffered
         # (tile, d) point tiles are the big tenants.  Measured on v5e at
         # (m=1000, n=200k, d=128): tile 4096/block 256 -> 6.2 ms, vs 41 ms
-        # at tile 512 — 5.5x faster than the XLA-fused brute force.
+        # at tile 512 — 5.5x faster than the XLA-fused brute force.  At
+        # n >= 512k the grid is step-count-bound, so the tile grows to
+        # 8192 (VMEM: dd block 256x8192 f32 = 8 MB, tiles 2x4 MB).
         tile = max(512, min(4096, (4 << 20) // (4 * max(d, 64))))
+        if n >= (1 << 19) and d <= 128:
+            # step-count-bound regime (measured 1M sweep: bq 512/tile 8192
+            # = 20.5 ms vs 36 ms at tile 4096; 16k/32k tiles regress —
+            # VMEM pressure); needs the raised vmem_limit_bytes below
+            tile = 8192
+    if query_block is None:
+        query_block = 512 if (n >= (1 << 19) and d <= 128) else 256
     tile = min(tile, max(8, n))
     n_tiles = math.ceil(n / tile)
     bq = min(query_block, m)
@@ -177,6 +223,12 @@ def exact_knn_pallas(
     qp = pad_rows(queries, 0.0)
     qn = jnp.sum(qp * qp, axis=-1, keepdims=True)
     ep = pad_rows(exclude[:, None], _NEG1)
+    # norms from the unrounded f32 points, padded to the tile grid so the
+    # (1, tile) block never reads out of bounds
+    pn_full = jnp.sum(points * points, axis=-1)[None, :]
+    np_pad = n_tiles * tile
+    if np_pad != n:
+        pn_full = jnp.pad(pn_full, [(0, 0), (0, np_pad - n)])
 
     kernel = functools.partial(
         _kernel, k=k, n=n, tile=tile, n_tiles=n_tiles
@@ -189,6 +241,7 @@ def exact_knn_pallas(
             pl.BlockSpec((bq, 1), lambda qb, t: (qb, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bq, 1), lambda qb, t: (qb, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, d), lambda qb, t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda qb, t: (0, t), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((bq, k), lambda qb, t: (qb, 0), memory_space=pltpu.VMEM),
@@ -202,8 +255,21 @@ def exact_knn_pallas(
             pltpu.VMEM((bq, k), f32),
             pltpu.VMEM((bq, k), jnp.int32),
         ],
+        # the default 16 MB scoped-vmem budget caps tile*bq well below what
+        # the 128 MB VMEM allows; size the limit from the actual tenants
+        # (2 live (bq, tile) f32 distance blocks in the k-round merge + 2
+        # double-buffered point tiles + small fixed blocks)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                2 * bq * tile * 4
+                + 2 * tile * d * cdt.itemsize
+                + 2 * bq * (d + 4 * k + 8) * 4
+                + (8 << 20),
+                100 << 20,
+            ),
+        ),
         interpret=interpret,
-    )(qp, qn, ep, points)
+    )(qp.astype(cdt), qn, ep, points.astype(cdt), pn_full)
     ids = out_i[:m].astype(itype)
     dd = out_d[:m]
     # exhausted rows (k > n etc.) already carry (n, +inf)

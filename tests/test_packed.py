@@ -1,0 +1,141 @@
+"""Packed (bucket-CSR wide-row) serving view — correctness gates.
+
+The packed layout must preserve the search contract (sentinel padding,
+dedup-by-min-distance, squared-L2 on raw coordinates) while its candidate
+set is a *superset* of the padded-table path's at window >= tmax (alignment
+spillover only adds real points).  Gates: recall not worse than the padded
+path, candidate-superset property, window/knob behavior, metric handling.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import approximatenn_tpu as ann
+
+
+def _recall(ids, true_ids):
+    ids, true_ids = np.asarray(ids), np.asarray(true_ids)
+    hits = sum(
+        len(set(r[r < len(ids) * 10**9]) & set(t)) for r, t in zip(ids, true_ids)
+    )
+    return hits / true_ids.size
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(7)
+    n, d, k, m = 4000, 24, 10, 64
+    X = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    Y = jnp.asarray(rng.standard_normal((m, d)).astype(np.float32))
+    index, _, _ = ann.build(X, k, tries=6, seed=3)
+    true_ids, _ = ann.brute_force_knn(X, Y, k)
+    return X, Y, index, true_ids
+
+
+def test_packed_matches_or_beats_padded_path(built):
+    X, Y, index, true_ids = built
+    ids_row, dists_row = ann.search(index, X, Y)
+    pi = index.packed(X)
+    ids_p, dists_p = ann.search_packed(pi, X, Y)
+    assert ids_p.shape == ids_row.shape and dists_p.shape == dists_row.shape
+    r_row = _recall(ids_row, true_ids)
+    r_p = _recall(ids_p, true_ids)
+    # superset candidates -> the packed view should not lose quality
+    assert r_p >= r_row - 0.02, (r_p, r_row)
+    assert r_p > 0.5
+    # distances are squared L2 on raw coordinates
+    m, k = ids_p.shape
+    sample = np.asarray(ids_p[:8])
+    dd = np.asarray(dists_p[:8])
+    Xn, Yn = np.asarray(X), np.asarray(Y)
+    for r in range(8):
+        for c in range(k):
+            if sample[r, c] < index.n:
+                ref = float(((Yn[r] - Xn[sample[r, c]]) ** 2).sum())
+                assert abs(ref - float(dd[r, c])) < 1e-3 * max(1.0, ref)
+
+
+def test_packed_candidate_superset(built):
+    """Every id the padded table can serve for a probe is inside the packed
+    window read for that probe (window >= tmax)."""
+    X, Y, index, _ = built
+    pi = index.packed(X)
+    t, b = 2, 5  # arbitrary table/bucket
+    tbl = np.asarray(index.tables[t, b])
+    tbl = tbl[tbl < index.n]
+    starts = np.asarray(pi.starts)
+    ids = np.asarray(pi.ids)
+    s = starts[t, b]
+    w = pi.super_width
+    lo = (s // w) * w
+    covered = ids[t, lo : lo + pi.rows_per_probe() * w]
+    assert set(tbl) <= set(covered.tolist())
+
+
+def test_packed_window_knob(built):
+    X, Y, index, true_ids = built
+    pi = index.packed(X)
+    shallow = pi.with_window(2)
+    assert shallow.rows_per_probe() < pi.rows_per_probe()
+    ids_s, _ = ann.search_packed(shallow, X, Y)
+    ids_f, _ = ann.search_packed(pi, X, Y)
+    assert _recall(ids_f, true_ids) >= _recall(ids_s, true_ids) - 0.02
+
+
+def test_packed_directed_probes(built):
+    X, Y, index, true_ids = built
+    pi = index.packed(X)
+    ids_b, _ = ann.search_packed(pi, X, Y)
+    ids_d, _ = ann.search_packed(pi, X, Y, n_probes=index.d_short + 1)
+    assert _recall(ids_d, true_ids) >= _recall(ids_b, true_ids) - 0.02
+
+
+def test_packed_bf16_storage(built):
+    X, Y, index, true_ids = built
+    pi = index.packed(X, dtype=jnp.bfloat16)
+    assert pi.point_rows.dtype == jnp.bfloat16
+    ids_p, dists_p = ann.search_packed(pi, X, Y)
+    # bf16 candidate vectors cost a little recall at most
+    assert _recall(ids_p, true_ids) > 0.45
+    assert np.isfinite(np.asarray(dists_p[:, 0])).all()
+
+
+def test_packed_sentinel_and_shapes(built):
+    X, Y, index, _ = built
+    pi = index.packed(X, window=4, super_width=8)
+    assert pi.super_width == 8
+    assert pi.point_rows.shape[1] == 8 * pi.d
+    ids_p, dists_p = ann.search_packed(pi, X, Y)
+    ids_np = np.asarray(ids_p)
+    assert ids_np.max() <= index.n
+    # sentinel rows carry +inf distance
+    d_np = np.asarray(dists_p)
+    assert np.all(np.isinf(d_np[ids_np == index.n]) | (ids_np != index.n).all())
+
+
+def test_packed_angular_metric(rng):
+    n, d, k, m = 2000, 16, 5, 32
+    X = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    Y = jnp.asarray(rng.standard_normal((m, d)).astype(np.float32))
+    index, _, _ = ann.build(X, k, tries=4, seed=1, metric="angular")
+    pi = index.packed()  # points stored on the index for angular
+    ids_p, _ = ann.search_packed(pi, queries=Y)
+    Xn = np.asarray(index.points)
+    Yn = np.asarray(Y) / np.linalg.norm(np.asarray(Y), axis=1, keepdims=True)
+    d2 = ((Yn[:, None, :] - Xn[None, :, :]) ** 2).sum(-1)
+    true_ids = np.argsort(d2, axis=1)[:, :k]
+    assert _recall(ids_p, true_ids) > 0.4
+
+
+def test_packed_requires_points():
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.standard_normal((500, 8)).astype(np.float32))
+    index, _, _ = ann.build(X, 5, tries=3, seed=0)
+    with pytest.raises(ValueError):
+        index.packed()  # no stored points, none passed
+    pi = index.packed(X, store_points=False)
+    with pytest.raises(ValueError):
+        ann.search_packed(pi, queries=X[:4])
+    ids, _ = ann.search_packed(pi, X, X[:4])
+    assert np.asarray(ids).shape == (4, 5)

@@ -24,6 +24,22 @@ class TestExactKNNPallas:
         )
         np.testing.assert_allclose(np.asarray(da), np.asarray(db), rtol=1e-4, atol=1e-4)
 
+    def test_bf16_compute_near_exact(self, rng):
+        p = jnp.asarray(rng.standard_normal((600, 32)).astype(np.float32))
+        q = jnp.asarray(rng.standard_normal((40, 32)).astype(np.float32))
+        ia, da = exact_knn_pallas(
+            p, q, 10, tile=256, query_block=16, interpret=True,
+            compute_dtype=jnp.bfloat16,
+        )
+        ib, _ = brute_force_knn(p, q, 10)
+        # bf16 factors round the dots; neighbor sets stay near-identical
+        overlap = np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / 10
+            for a, b in zip(np.asarray(ia), np.asarray(ib))
+        ])
+        assert overlap > 0.9, overlap
+        assert np.all(np.diff(np.asarray(da), axis=1) >= -1e-3)
+
     def test_ascending_order(self, rng):
         p = jnp.asarray(rng.standard_normal((300, 8)).astype(np.float32))
         q = jnp.asarray(rng.standard_normal((9, 8)).astype(np.float32))
