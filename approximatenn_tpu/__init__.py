@@ -19,6 +19,7 @@ for users coming from the C API.
 from .config import ftype, itype, set_ftype
 from .engine.build import build, build_graph_only
 from .engine.search import search, search_packed
+from .engine.serving import Server
 from .index import ANNIndex, PackedIndex
 from .ops.distance import brute_force_knn, brute_force_knn_self
 from .ops.pallas_exact import exact_search
@@ -59,8 +60,8 @@ def query(index: ANNIndex, points, y, **kw):
 
 
 __all__ = [
-    "ANNIndex", "PackedIndex", "build", "build_graph_only", "search",
-    "search_packed", "precomp", "query",
+    "ANNIndex", "PackedIndex", "Server", "build", "build_graph_only",
+    "search", "search_packed", "precomp", "query",
     "brute_force_knn", "brute_force_knn_self", "exact_search",
     "ftype", "itype", "set_ftype",
 ]

@@ -1,0 +1,133 @@
+"""Serving facade: pick the best engine for a corpus automatically.
+
+Role in the reference: none — its only serving surface is ``query``
+(``/root/reference/ann.h:61-62``) over the one algorithm it has.  On TPU
+the measured landscape is richer (BASELINE.md):
+
+- **exact** — the fused Pallas MXU kernel (`ops/pallas_exact`): recall 1.0
+  at 650k QPS (20k pts) to 48.6k QPS (1M pts) on one v5e chip.  Because
+  XLA's candidate gather tops out near ~250M rows/s while the MXU scans
+  ~50M points/ms, exhaustive search dominates the hash path well past 1M
+  points per chip ("the gather wall", docs/ARCHITECTURE.md).
+- **hash** — the reference's algorithm (`build`/`search`): sub-linear
+  candidate work; pays off when n outgrows the per-chip flops budget, for
+  latency-critical small batches, or when sharded far past single-chip
+  scale.  ``layout="packed"`` serves through the bucket-CSR view
+  (`search_packed`): no overflow drops, superset candidates, `window`
+  depth knob.
+
+``Server`` wraps the choice; ``mode="auto"`` picks exact below
+``exact_max_n`` points (default 2M per chip) and hash beyond.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+# Below this corpus size the exact MXU path beats the hash path outright on
+# a single TPU chip (measured: 25x at 1M at BETTER recall) — the crossover
+# sits past HBM-resident scales for d ~ 100-1000.
+EXACT_MAX_N_DEFAULT = 2_000_000
+
+
+@dataclass
+class Server:
+    """One-stop serving handle over a point corpus.
+
+    >>> srv = Server.build(points, k=10)          # picks engine by size
+    >>> ids, dists = srv.search(queries)
+    >>> srv.mode, srv.describe()
+
+    ``mode``: "exact", "hash", or "auto" (default).  Hash-specific build
+    options pass through ``**build_kw`` (tries, capacity, seed, n_probes,
+    layout="table"|"packed", window, ...).
+    """
+
+    points: Any
+    k: int
+    mode: str
+    metric: str = "l2"
+    index: Any = None  # ANNIndex when mode == "hash"
+    packed: Any = None  # PackedIndex when layout == "packed"
+    n_probes: int | None = None
+    _search_kw: dict = field(default_factory=dict)
+
+    @classmethod
+    def build(
+        cls,
+        points,
+        k: int,
+        *,
+        mode: str = "auto",
+        metric: str = "l2",
+        exact_max_n: int = EXACT_MAX_N_DEFAULT,
+        layout: str = "table",
+        window: int | None = None,
+        n_probes: int | None = None,
+        **build_kw,
+    ) -> "Server":
+        points = jnp.asarray(points)
+        n = points.shape[0]
+        if mode == "auto":
+            mode = "exact" if n <= exact_max_n and k <= 128 else "hash"
+        if mode not in ("exact", "hash"):
+            raise ValueError(f"unknown mode {mode!r}")
+        srv = cls(points=points, k=k, mode=mode, metric=metric,
+                  n_probes=n_probes)
+        if metric != "l2":
+            from ..data.preprocess import prepare_points
+
+            srv.points = prepare_points(points, metric)
+        if mode == "hash":
+            from .build import build
+
+            srv.index, _, _ = build(
+                points, k, metric=metric, store_points=True, **build_kw
+            )
+            if layout == "packed":
+                srv.packed = srv.index.packed(window=window)
+        return srv
+
+    def search(self, queries, k: int | None = None, **kw):
+        """k approximate (hash) or exact nearest neighbors per query row.
+        Returns (ids, squared distances) with the library's standard
+        sentinel conventions."""
+        k = self.k if k is None else k
+        if self.mode == "exact":
+            from ..ops.pallas_exact import exact_search
+
+            if self.metric != "l2":
+                from ..data.preprocess import prepare_points
+
+                queries = prepare_points(
+                    jnp.asarray(queries, self.points.dtype), self.metric
+                )
+            return exact_search(self.points, queries, k, **kw)
+        kw.setdefault("n_probes", self.n_probes)
+        if self.packed is not None:
+            from .search import search_packed
+
+            return search_packed(self.packed, queries=queries, **kw)
+        from .search import search
+
+        return search(self.index, queries=queries, **kw)
+
+    def describe(self) -> dict:
+        d = {
+            "mode": self.mode,
+            "n": int(self.points.shape[0]),
+            "d": int(self.points.shape[1]),
+            "k": self.k,
+            "metric": self.metric,
+            "recall": 1.0 if self.mode == "exact" else None,
+        }
+        if self.index is not None:
+            d["layout"] = "packed" if self.packed is not None else "table"
+            d["index_mb"] = round(
+                (self.packed or self.index).memory_bytes() / 2**20, 1
+            )
+        return d

