@@ -72,11 +72,25 @@ class TestBuild:
         _, g2, _ = ann.build(X, 10, key=jax.random.key(42))
         np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
 
-    def test_different_keys_differ(self, default_data):
+    def test_different_keys_differ_hash_graph(self, default_data):
+        # the hash-pipeline graph is an approximation steered by the
+        # transform key (reference semantics, alg.c:387-392)
+        X, _ = default_data
+        _, g1, _ = ann.build(X, 10, key=jax.random.key(1), graph_mode="hash")
+        _, g2, _ = ann.build(X, 10, key=jax.random.key(2), graph_mode="hash")
+        assert (np.asarray(g1) != np.asarray(g2)).any()
+
+    def test_exact_graph_key_invariant_and_true(self, default_data):
+        # graph_mode="exact" (the auto default at this size) returns the
+        # true kNN graph regardless of the transform key
         X, _ = default_data
         _, g1, _ = ann.build(X, 10, key=jax.random.key(1))
         _, g2, _ = ann.build(X, 10, key=jax.random.key(2))
-        assert (np.asarray(g1) != np.asarray(g2)).any()
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+        ti, _ = ann.brute_force_knn_self(X, 10)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(g1), 1), np.sort(np.asarray(ti), 1)
+        )
 
 
 class TestSearch:
