@@ -263,8 +263,11 @@ def exact_knn_pallas(
             vmem_limit_bytes=min(
                 2 * bq * tile * 4
                 + 2 * tile * d * cdt.itemsize
-                + 2 * bq * (d + 4 * k + 8) * 4
-                + (8 << 20),
+                # selection state: running (bq, k) pairs, the emit-phase
+                # slices, and while-carry duplicates (measured: k=100 at
+                # bq=512/tile=8192 needs ~52 MB total)
+                + 2 * bq * (d + 16 * k + 8) * 4
+                + (12 << 20),
                 100 << 20,
             ),
         ),
