@@ -227,11 +227,11 @@ def exact_graph_chunked(points, k, *, chunk_q: int = 8192, progress=None):
     spec backend) uses the XLA oracle with identical semantics.
     """
     from ..ops.distance import brute_force_knn_self
-    from ..ops.pallas_exact import exact_knn_pallas
+    from ..ops.pallas_exact import _platform_of, exact_knn_pallas
 
     n = points.shape[0]
     use_pallas = (
-        jax.devices()[0].platform in ("tpu", "axon") and k <= 128 and n >= 8
+        _platform_of(points) in ("tpu", "axon") and k <= 128 and n >= 8
     )
     if not use_pallas:
         return brute_force_knn_self(points, k)

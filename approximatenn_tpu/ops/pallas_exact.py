@@ -279,6 +279,18 @@ def exact_knn_pallas(
     return ids, dd
 
 
+def _platform_of(x) -> str:
+    """Platform the computation will actually run on: the array's device
+    when known (the CPU-as-oracle harness runs with arrays placed on cpu
+    while the default backend stays tpu), else the default backend."""
+    try:
+        return next(iter(x.devices())).platform
+    except Exception:
+        import jax
+
+        return jax.devices()[0].platform
+
+
 def exact_knn_self_pallas(points, k: int, **kw):
     """Exact kNN graph with self-exclusion (oracle for the build graph)."""
     n = points.shape[0]
@@ -293,10 +305,8 @@ def exact_search(points, queries, k: int, **kw):
     n=20k-200k on a v5e), XLA brute force elsewhere.  On TPU at
     single-chip scales this is a serving mode in its own right — recall
     1.0 at hundreds of thousands of QPS — not just the test oracle."""
-    import jax
-
-    platform = jax.devices()[0].platform
-    if platform in ("tpu", "axon") and k <= 128:
+    points = jnp.asarray(points)
+    if _platform_of(points) in ("tpu", "axon") and k <= 128:
         return exact_knn_pallas(
             jnp.asarray(points, jnp.float32), jnp.asarray(queries, jnp.float32),
             k, **kw,

@@ -244,7 +244,9 @@ def search_exact_sharded(points, queries, k: int, *, mesh: Mesh, block: int = 10
     points = _shard_points(jnp.asarray(points), mesh)
     queries = jax.device_put(jnp.asarray(queries), NamedSharding(mesh, P()))
     kk = min(k, n_local)
-    use_pallas = jax.devices()[0].platform in ("tpu", "axon") and kk <= 128
+    use_pallas = (
+        mesh.devices.flat[0].platform in ("tpu", "axon") and kk <= 128
+    )
 
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(AXIS, None), P()),
              out_specs=(P(), P()), check_vma=False)
