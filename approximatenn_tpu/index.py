@@ -58,6 +58,116 @@ class ANNIndex:
     def n_buckets(self) -> int:
         return 1 << self.d_short
 
+    # ------------------------------------------------------------------
+    # Streaming updates (new capability: the reference's save_t is
+    # immutable — rebuilding is its only update path, ann.h:46-59).
+    # Functional: each method returns a NEW index; the original is
+    # untouched (pytrees are immutable).
+    # ------------------------------------------------------------------
+
+    def add_points(self, new_points, points=None) -> "ANNIndex":
+        """Insert ``new_points`` (m, d) with ids n..n+m-1.
+
+        Hash parameters (row_means, bases, d_short) stay frozen — new
+        points are coded with the build-time transforms, appended to
+        their buckets (first free slot; a FULL bucket drops the entry for
+        that table only — it stays reachable via the other tables and the
+        graph, the same overflow semantics as capacity-limited builds),
+        and given exact graph rows against the grown corpus.  Existing
+        points' graph rows are NOT refreshed (they never point at new
+        points) — the standard streaming-ANN staleness tradeoff; rebuild
+        when the corpus has grown past ~2x, as bucket sizing (d_short)
+        is fixed at build time.  Requires stored points or ``points``.
+        """
+        from .ops.hash import pack_signs
+
+        if points is None:
+            points = self.points
+        if points is None:
+            raise ValueError(
+                "add_points needs the current point matrix: pass it or "
+                "build with store_points=True"
+            )
+        points = jnp.asarray(points)
+        dtype = self.bases.dtype
+        new_points = jnp.asarray(new_points, dtype)
+        if self.metric != "l2":
+            from .data.preprocess import prepare_points
+
+            new_points = prepare_points(new_points, self.metric)
+        m, d = new_points.shape
+        n_old, n_new = self.n, self.n + m
+        all_points = jnp.concatenate([points.astype(dtype), new_points])
+
+        # sentinel rewrite: every n_old sentinel becomes n_new
+        tables = jnp.where(self.tables == n_old, n_new, self.tables)
+        graph = jnp.where(self.graph == n_old, n_new, self.graph)
+
+        if self.d_short:
+            centered = new_points - self.row_means
+            proj = centered @ self.bases.reshape(
+                self.tries * self.d_short, d
+            ).T
+            codes = pack_signs(proj.reshape(m, self.tries, self.d_short))
+        else:
+            codes = jnp.zeros((m, self.tries), jnp.int32)
+
+        counts = self.counts
+        # sequential scatter per new point (streaming inserts are
+        # few-at-a-time; bulk growth should rebuild).  Done host-side to
+        # keep slot assignment race-free and exact.
+        tables_np = np.array(tables)  # mutable host copies
+        counts_np = np.array(counts)
+        codes_np = np.asarray(codes)
+        for t in range(self.tries):
+            for i in range(m):
+                b = int(codes_np[i, t])
+                c = int(counts_np[t, b])
+                if c < self.tmax:
+                    tables_np[t, b, c] = n_old + i
+                counts_np[t, b] = c + 1
+        tables = jnp.asarray(tables_np)
+        counts = jnp.asarray(counts_np)
+
+        # exact graph rows for the new points against the grown corpus:
+        # ask for k+1, mask the self-match (dist 0, but a duplicate point
+        # can displace it from slot 0 — mask by id, then re-sort), keep k
+        from .ops.pallas_exact import exact_search
+
+        kk = min(self.k + 1, n_new)
+        gnew, gd = exact_search(all_points, new_points, kk)
+        gnew = jnp.asarray(gnew, jnp.int32)
+        rows = (n_old + jnp.arange(m, dtype=jnp.int32))[:, None]
+        self_hit = gnew == rows
+        gd = jnp.where(self_hit, jnp.inf, jnp.asarray(gd, jnp.float32))
+        gnew = jnp.where(self_hit, n_new, gnew)
+        gd, gnew = jax.lax.sort((gd, gnew), dimension=-1, num_keys=1)
+        gnew = gnew[:, : self.k]
+        if gnew.shape[1] < self.k:
+            pad = jnp.full((m, self.k - gnew.shape[1]), n_new, jnp.int32)
+            gnew = jnp.concatenate([gnew, pad], axis=1)
+        graph = jnp.concatenate([graph, gnew])
+
+        return dataclasses.replace(
+            self, tables=tables, counts=counts, graph=graph, n=n_new,
+            points=all_points if self.points is not None else None,
+        )
+
+    def remove_points(self, ids) -> "ANNIndex":
+        """Tombstone the given point ids: they are dropped from every
+        bucket and graph edge and can never be returned again.  Their
+        rows in the point matrix become unreachable (memory is reclaimed
+        at the next rebuild); n and live ids are unchanged.
+        """
+        ids = jnp.asarray(ids, jnp.int32).reshape(-1)
+        dead = jnp.zeros((self.n + 1,), bool).at[jnp.clip(ids, 0, self.n)].set(True)
+        sent = jnp.asarray(self.n, self.tables.dtype)
+        tables = jnp.where(dead[self.tables], sent, self.tables)
+        graph = jnp.where(dead[self.graph], sent, self.graph)
+        # dead points' own graph rows are unreachable but cleared anyway
+        graph = jnp.where(dead[: self.n, None], sent, graph)
+        return dataclasses.replace(self, tables=tables, graph=graph)
+
     def packed(
         self,
         points=None,
