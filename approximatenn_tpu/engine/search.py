@@ -30,7 +30,7 @@ from ..ops.topk import dedup_topk
 
 
 def search_impl(index: ANNIndex, points, queries, block_rows: int,
-                n_probes: int | None = None):
+                n_probes: int | None = None, supercharge_rounds: int = 1):
     n, k, d_short, tries, tmax = (
         index.n, index.k, index.d_short, index.tries, index.tmax,
     )
@@ -61,20 +61,27 @@ def search_impl(index: ANNIndex, points, queries, block_rows: int,
         cand = cand.reshape(cand.shape[0], -1)  # (B, tries*P*tmax)
         dd = candidate_dists(qb, points, cand)
         t1, td1 = dedup_topk(cand, dd, k, n)
-        # supercharge via the stored graph (alg.c:507-512)
-        safe = jnp.where(t1 < n, t1, 0)
-        exp = jnp.where((t1 < n)[..., None], index.graph[safe], n)
-        cand2 = jnp.concatenate([t1, exp.reshape(-1, k * k)], axis=-1)
-        dd2 = candidate_dists(qb, points, exp.reshape(-1, k * k))
-        dd2 = jnp.concatenate([td1, dd2], axis=-1)
-        return dedup_topk(cand2, dd2, k, n)
+        # supercharge via the stored graph (alg.c:507-512); the reference
+        # runs exactly one round — extra rounds walk the graph further
+        # (each costs one k*k gather + distance pass), a cheap recall
+        # knob now that the stored graph is exact
+        for _ in range(supercharge_rounds):
+            safe = jnp.where(t1 < n, t1, 0)
+            exp = jnp.where((t1 < n)[..., None], index.graph[safe], n)
+            cand2 = jnp.concatenate([t1, exp.reshape(-1, k * k)], axis=-1)
+            dd2 = candidate_dists(qb, points, exp.reshape(-1, k * k))
+            dd2 = jnp.concatenate([td1, dd2], axis=-1)
+            t1, td1 = dedup_topk(cand2, dd2, k, n)
+        return t1, td1
 
     return blocked_over_rows(
         stage, m, block_rows, q, codes, proj, pad_values=(0.0, 0, 0.0)
     )
 
 
-_search_jit = partial(jax.jit, static_argnames=("block_rows", "n_probes"))(search_impl)
+_search_jit = partial(
+    jax.jit, static_argnames=("block_rows", "n_probes", "supercharge_rounds")
+)(search_impl)
 
 
 def search_packed_impl(pi: PackedIndex, points, queries, block_rows: int,
@@ -217,8 +224,15 @@ def search(
     budget_bytes: int = 128 << 20,
     block_rows: int | None = None,
     n_probes: int | None = None,
+    supercharge_rounds: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Find the k approximate nearest neighbors of each query.
+
+    ``supercharge_rounds``: graph-expansion rounds after the bucket
+    candidates (the reference runs exactly 1, ``alg.c:507-512``); more
+    rounds walk the kNN graph further — a cheap recall knob now that the
+    stored graph is exact (each round costs one k*k gather + distance
+    pass).  0 disables supercharge entirely.
 
     Mirrors ``query`` (``ann.h:61-62``): ``points`` must be the same array
     the index was built over (the index stores ids, not vectors), or None
@@ -255,4 +269,5 @@ def search(
     points = jnp.asarray(points, index.bases.dtype)
     queries = jnp.asarray(queries, index.bases.dtype)
     return _search_jit(index, points, queries, block_rows=block_rows,
-                       n_probes=n_probes)
+                       n_probes=n_probes,
+                       supercharge_rounds=supercharge_rounds)

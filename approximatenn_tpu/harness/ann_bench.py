@@ -27,7 +27,7 @@ import numpy as np
 
 def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto",
                n_probes=None, packed=False, window=None, super_width=16,
-               packed_dtype=None):
+               packed_dtype=None, supercharge_rounds=1):
     import jax.numpy as jnp
 
     # device->host scalar read of the LAST output: the only reliable
@@ -55,6 +55,8 @@ def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto",
     Yd = jnp.asarray(ds.queries[:nq])
     pts = None if index.points is not None else Xd
     skw = dict(n_probes=n_probes)
+    if not packed and supercharge_rounds != 1:
+        skw["supercharge_rounds"] = supercharge_rounds
     if packed:
         pdt = {"bf16": jnp.bfloat16, "f32": jnp.float32, None: None}.get(
             packed_dtype, packed_dtype
@@ -107,6 +109,7 @@ def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto",
         "latency_s": round(float(np.median(lat)), 6),
         "index_mb": round(index_mb, 1),
         "layout": "packed" if packed else "table",
+        "supercharge_rounds": supercharge_rounds,
         **(
             {"window": pview.window, "super_width": pview.super_width,
              "packed_dtype": str(np.dtype(packed_dtype or "float32"))
@@ -142,6 +145,8 @@ def main(argv=None) -> int:
                    help="packed super-row width in points")
     p.add_argument("--packed-dtype", default=None, choices=[None, "f32", "bf16"],
                    help="packed vector storage dtype")
+    p.add_argument("--supercharge-rounds", type=int, default=1,
+                   help="graph-expansion rounds at query time (reference: 1)")
     args = p.parse_args(argv)
     cap = {"auto": "auto", "exact": None}.get(args.capacity, args.capacity)
     if isinstance(cap, str) and cap not in ("auto",):
@@ -165,7 +170,8 @@ def main(argv=None) -> int:
                          args.seed, capacity=cap, n_probes=args.n_probes,
                          packed=args.packed, window=args.window,
                          super_width=args.super_width,
-                         packed_dtype=args.packed_dtype)
+                         packed_dtype=args.packed_dtype,
+                         supercharge_rounds=args.supercharge_rounds)
         print(json.dumps(rec), flush=True)
     return 0
 

@@ -94,6 +94,17 @@ class TestBuild:
 
 
 class TestSearch:
+    def test_supercharge_rounds_knob(self, built, default_data):
+        X, Y = default_data
+        idx, _, _ = built
+        r = []
+        for rounds in (0, 1, 3):
+            ids, _ = ann.search(idx, X, Y, supercharge_rounds=rounds)
+            s = score_guesses(X, Y, np.asarray(ids), 10)
+            r.append(s.prob_correct)
+        assert r[1] >= r[0] - 0.02  # one round helps (reference semantics)
+        assert r[2] >= r[1] - 0.02  # more rounds never meaningfully hurt
+
     def test_query_recall_default_point(self, built, default_data):
         X, Y = default_data
         idx, _, _ = built
