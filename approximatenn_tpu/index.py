@@ -52,6 +52,12 @@ class ANNIndex:
     # a new serving convenience and is REQUIRED for metric="angular", where
     # search must run against the normalized copy.
     points: Any = None  # (n, d) ftype or None
+    # tombstone mask from remove_points: (n + 1,) bool, True = removed
+    # (slot n is the sentinel, always False).  None = no removals.  Kept as
+    # durable index state so derived views (packed()) and later add_points
+    # calls keep excluding removed ids — without it a packed() rebuild or a
+    # new point's graph row would resurrect them from the raw point matrix.
+    dead: Any = None
     metric: str = dataclasses.field(default="l2", metadata=dict(static=True))
 
     @property
@@ -112,35 +118,40 @@ class ANNIndex:
         else:
             codes = jnp.zeros((m, self.tries), jnp.int32)
 
-        counts = self.counts
-        # sequential scatter per new point (streaming inserts are
-        # few-at-a-time; bulk growth should rebuild).  Done host-side to
-        # keep slot assignment race-free and exact.
-        tables_np = np.array(tables)  # mutable host copies
-        counts_np = np.array(counts)
-        codes_np = np.asarray(codes)
-        for t in range(self.tries):
-            for i in range(m):
-                b = int(codes_np[i, t])
-                c = int(counts_np[t, b])
-                if c < self.tmax:
-                    tables_np[t, b, c] = n_old + i
-                counts_np[t, b] = c + 1
-        tables = jnp.asarray(tables_np)
-        counts = jnp.asarray(counts_np)
+        # device-side bulk append: per table, rank each new point within
+        # its bucket (argsort + searchsorted, the build_table idiom) and
+        # scatter to slot counts[b] + rank; slots >= tmax are dropped by
+        # the out-of-bounds scatter (same overflow semantics as the
+        # capacity-limited build), while counts keeps true occupancy.
+        def _append(table_t, counts_t, codes_t):
+            order = jnp.argsort(codes_t, stable=True).astype(jnp.int32)
+            sc = codes_t[order]
+            first = jnp.searchsorted(sc, sc, side="left").astype(jnp.int32)
+            rank = jnp.arange(m, dtype=jnp.int32) - first
+            slot = counts_t[sc].astype(jnp.int32) + rank
+            table_t = table_t.at[sc, slot].set(
+                (n_old + order).astype(table_t.dtype), mode="drop"
+            )
+            return table_t, counts_t.at[codes_t].add(1)
+
+        tables, counts = jax.vmap(_append)(tables, self.counts, codes.T)
 
         # exact graph rows for the new points against the grown corpus:
         # ask for k+1, mask the self-match (dist 0, but a duplicate point
         # can displace it from slot 0 — mask by id, then re-sort), keep k
         from .ops.pallas_exact import exact_search
 
-        kk = min(self.k + 1, n_new)
+        kk = min(self.k + 1 + (0 if self.dead is None else self.k), n_new)
         gnew, gd = exact_search(all_points, new_points, kk)
         gnew = jnp.asarray(gnew, jnp.int32)
         rows = (n_old + jnp.arange(m, dtype=jnp.int32))[:, None]
-        self_hit = gnew == rows
-        gd = jnp.where(self_hit, jnp.inf, jnp.asarray(gd, jnp.float32))
-        gnew = jnp.where(self_hit, n_new, gnew)
+        drop = gnew == rows  # self-match
+        if self.dead is not None:
+            # removed points still sit in the raw matrix; keep them out of
+            # the new points' graph rows (widened kk absorbs the holes)
+            drop |= self.dead[jnp.clip(gnew, 0, n_old)] & (gnew < n_old)
+        gd = jnp.where(drop, jnp.inf, jnp.asarray(gd, jnp.float32))
+        gnew = jnp.where(drop, n_new, gnew)
         gd, gnew = jax.lax.sort((gd, gnew), dimension=-1, num_keys=1)
         gnew = gnew[:, : self.k]
         if gnew.shape[1] < self.k:
@@ -148,25 +159,34 @@ class ANNIndex:
             gnew = jnp.concatenate([gnew, pad], axis=1)
         graph = jnp.concatenate([graph, gnew])
 
+        dead = self.dead
+        if dead is not None:  # extend: new points are live, slot n_new = sentinel
+            dead = jnp.concatenate([dead[:n_old], jnp.zeros((m + 1,), bool)])
         return dataclasses.replace(
             self, tables=tables, counts=counts, graph=graph, n=n_new,
-            points=all_points if self.points is not None else None,
+            points=all_points if self.points is not None else None, dead=dead,
         )
 
     def remove_points(self, ids) -> "ANNIndex":
         """Tombstone the given point ids: they are dropped from every
-        bucket and graph edge and can never be returned again.  Their
-        rows in the point matrix become unreachable (memory is reclaimed
-        at the next rebuild); n and live ids are unchanged.
+        bucket and graph edge and can never be returned again — including
+        through later ``packed()`` views and ``add_points`` graph rows,
+        which consult the stored ``dead`` mask.  Their rows in the point
+        matrix become unreachable (memory is reclaimed at the next
+        rebuild); n and live ids are unchanged.
         """
         ids = jnp.asarray(ids, jnp.int32).reshape(-1)
-        dead = jnp.zeros((self.n + 1,), bool).at[jnp.clip(ids, 0, self.n)].set(True)
+        dead = self.dead
+        if dead is None:
+            dead = jnp.zeros((self.n + 1,), bool)
+        dead = dead.at[jnp.clip(ids, 0, self.n)].set(True)
+        dead = dead.at[self.n].set(False)  # slot n = sentinel, never dead
         sent = jnp.asarray(self.n, self.tables.dtype)
         tables = jnp.where(dead[self.tables], sent, self.tables)
         graph = jnp.where(dead[self.graph], sent, self.graph)
         # dead points' own graph rows are unreachable but cleared anyway
         graph = jnp.where(dead[: self.n, None], sent, graph)
-        return dataclasses.replace(self, tables=tables, graph=graph)
+        return dataclasses.replace(self, tables=tables, graph=graph, dead=dead)
 
     def packed(
         self,
@@ -238,8 +258,16 @@ class ANNIndex:
         order, starts = pack_tables(codes.T, self.n_buckets)
         pad = jnp.full((self.tries, n_pad - n), n, order.dtype)
         ids = jnp.concatenate([order, pad], axis=1)  # (tries, n_pad)
+        if self.dead is not None:
+            # removed points keep their CSR slots (positions are the free
+            # within-table ids) but can never be returned: sentinel id +
+            # +inf vector makes their distance +inf in the diff^2 pass
+            is_dead = self.dead[jnp.clip(ids, 0, n)]
+            ids = jnp.where(is_dead, n, ids)
         safe = jnp.where(ids < n, ids, 0)
         pts = points.astype(dtype)[safe]  # (tries, n_pad, d)
+        if self.dead is not None:
+            pts = jnp.where(is_dead[..., None], jnp.asarray(jnp.inf, dtype), pts)
         return PackedIndex(
             row_means=self.row_means,
             bases=self.bases,
@@ -304,6 +332,8 @@ class ANNIndex:
         )
         if self.points is not None:
             arrays["points"] = np.asarray(self.points)
+        if self.dead is not None:
+            arrays["dead"] = np.asarray(self.dead)
         np.savez_compressed(path, **arrays)
 
     @classmethod
@@ -388,5 +418,6 @@ def _load_annindex(cls, path: str) -> "ANNIndex":
         graph=jnp.asarray(z["graph"]),
         n=n, k=k, d=d, d_short=d_short, tries=tries, tmax=tmax,
         points=jnp.asarray(z["points"]) if "points" in z else None,
+        dead=jnp.asarray(z["dead"]) if "dead" in z else None,
         metric=str(z["metric"]) if "metric" in z else "l2",
     )

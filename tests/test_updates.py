@@ -80,3 +80,79 @@ def test_add_points_requires_points():
         index.add_points(X[:2])
     idx2 = index.add_points(X[:2] + 100.0, points=X)
     assert idx2.n == 502
+
+
+def test_remove_durable_through_packed(base):
+    # round-1 advisor finding: packed() used to repack removed points from
+    # the raw matrix, resurrecting them
+    X, index, _ = base
+    q = X[:16]
+    ids0, _ = ann.search(index, X, q)
+    victims = np.unique(np.asarray(ids0[:, 0]))
+    idx2 = index.remove_points(jnp.asarray(victims))
+    pv = idx2.packed()
+    ids1, dd1 = ann.search_packed(pv, queries=q)
+    assert not (set(np.asarray(ids1).ravel().tolist()) & set(victims.tolist()))
+    assert np.isfinite(np.asarray(dd1)).all()  # live results unaffected
+
+
+def test_remove_durable_through_add_points(base):
+    # removed ids must not resurface in NEW points' graph rows (and hence
+    # via supercharge) after a later add
+    X, index, rng = base
+    victims = np.arange(0, 50)
+    idx2 = index.remove_points(jnp.asarray(victims))
+    # new points placed exactly at removed points: their true NNs are the
+    # dead rows, the strongest possible resurrection bait
+    Y = X[:10] + 1e-4
+    idx3 = idx2.add_points(Y)
+    gnew = np.asarray(idx3.graph[idx2.n:])
+    assert not (set(gnew.ravel().tolist()) & set(victims.tolist()))
+    ids, _ = ann.search(idx3, queries=Y)
+    assert not (set(np.asarray(ids).ravel().tolist()) & set(victims.tolist()))
+
+
+def test_bulk_add_matches_bucket_semantics(base):
+    # vectorized append: every new point lands at slot counts[b] + rank
+    # (first-free-slot order), counts track true occupancy, overflow drops
+    X, index, rng = base
+    m = 500
+    Y = jnp.asarray(rng.standard_normal((m, 16)).astype(np.float32))
+    idx2 = index.add_points(Y)
+    t0, t2 = np.asarray(index.tables), np.asarray(idx2.tables)
+    c0, c2 = np.asarray(index.counts), np.asarray(idx2.counts)
+    # recompute expected codes through the frozen transforms
+    from approximatenn_tpu.ops.hash import pack_signs
+
+    centered = Y - index.row_means
+    proj = centered @ index.bases.reshape(index.tries * index.d_short, 16).T
+    codes = np.asarray(pack_signs(proj.reshape(m, index.tries, index.d_short)))
+    for t in range(index.tries):
+        binc = np.bincount(codes[:, t], minlength=index.n_buckets)
+        np.testing.assert_array_equal(c2[t], c0[t] + binc)
+        for b in np.unique(codes[:, t]):
+            new_ids = index.n + np.where(codes[:, t] == b)[0]
+            start, stop = c0[t, b], min(c0[t, b] + len(new_ids), index.tmax)
+            got = t2[t, b, start:stop]
+            want = new_ids[: stop - start]  # stable rank = arrival order
+            np.testing.assert_array_equal(got, want)
+            # slots past tmax dropped, pre-existing slots untouched
+            np.testing.assert_array_equal(t2[t, b, :start], t0[t, b, :start])
+
+
+def test_bulk_add_overflow_drops_only_that_table():
+    rng = np.random.default_rng(7)
+    X = jnp.asarray(rng.standard_normal((400, 8)).astype(np.float32))
+    index, _, _ = ann.build(X, 4, tries=3, seed=2, store_points=True,
+                            capacity=4)
+    Y = jnp.asarray(rng.standard_normal((200, 8)).astype(np.float32))
+    idx2 = index.add_points(Y)
+    c2 = np.asarray(idx2.counts)
+    t2 = np.asarray(idx2.tables)
+    assert (c2 > idx2.tmax).any()  # overflow actually happened
+    # every table slot is a valid id or the sentinel
+    assert ((t2 <= idx2.n) & (t2 >= 0)).all()
+    # overflowed points stay reachable: exact hit via some table or graph
+    ids, _ = ann.search(idx2, queries=Y)
+    hit = (np.asarray(ids) == 400 + np.arange(200)[:, None]).any(1)
+    assert hit.mean() > 0.8
