@@ -360,8 +360,10 @@ def build(
     reference's save=NULL fast path is :func:`build_graph_only`).
     ``capacity`` pins the bucket capacity for a sync-free, fully-jittable
     build (overflow dropped); None reads the exact max occupancy back once,
-    as the reference's host histogram does (``alg.c:252-266``); "auto" caps
-    capacity at the 99.9th occupancy percentile (and >= 8x the mean).
+    as the reference's host histogram does (``alg.c:252-266``); "auto" =
+    ``min(exact max, 32x mean occupancy)`` with a floor of 8 — the single
+    policy, defined in :func:`resolve_capacity` (see its measured
+    quality/throughput frontier).
     Exact-max capacity — the reference's policy — makes table memory scale
     with the LARGEST bucket, which explodes on clustered (real-world) data:
     similar vectors hash together, so one hot bucket can hold a whole

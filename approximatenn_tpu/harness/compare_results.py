@@ -90,30 +90,43 @@ def main(argv=None) -> int:
         print(f"Average query diff count: {total / args.average_over:g} "
               f"(of {args.ycnt * args.k} ids)")
     else:
-        gtotal = 0
-        ftotal = 0.0
+        # the hash pipeline is the divergence-prone path this gate exists
+        # for (graph_mode="auto" resolves to "exact" at harness sizes,
+        # which would compare two exhaustive searches); gate BOTH modes.
+        totals = {"hash": [0, 0.0], "exact": [0, 0.0]}
         for i in range(args.average_over):
             points = gen_gaussian(rng, args.n, args.d, dt)
             key = jax.random.key(int(rng.integers(2**63)))
-            ia, ga, da = ann.build(jax.device_put(points, acc), args.k,
-                                   key=jax.device_put(key, acc), **kw)
-            ic, gc, dc = ann.build(jax.device_put(points, cpu), args.k,
-                                   key=jax.device_put(key, cpu), **kw)
-            gtotal += diffcount(np.sort(np.asarray(ga), 1), np.sort(np.asarray(gc), 1))
-            ftotal += ulp_units(np.asarray(ia.row_means), np.asarray(ic.row_means))
-            ftotal += ulp_units(np.asarray(ia.bases), np.asarray(ic.bases))
-            da_, dc_ = np.asarray(da), np.asarray(dc)
-            fin = np.isfinite(da_) & np.isfinite(dc_)
-            ftotal += ulp_units(np.sort(da_, 1)[fin], np.sort(dc_, 1)[fin])
+            for mode, (gt_, ft_) in totals.items():
+                ia, ga, da = ann.build(jax.device_put(points, acc), args.k,
+                                       key=jax.device_put(key, acc),
+                                       graph_mode=mode, **kw)
+                ic, gc, dc = ann.build(jax.device_put(points, cpu), args.k,
+                                       key=jax.device_put(key, cpu),
+                                       graph_mode=mode, **kw)
+                gt_ += diffcount(np.sort(np.asarray(ga), 1),
+                                 np.sort(np.asarray(gc), 1))
+                ft_ += ulp_units(np.asarray(ia.row_means), np.asarray(ic.row_means))
+                ft_ += ulp_units(np.asarray(ia.bases), np.asarray(ic.bases))
+                # sort BEFORE masking so the finite mask is aligned with
+                # the elements it selects (±inf sorts to the row tail on
+                # both operands; mismatched inf counts show up as graph
+                # id diffs, not float diffs)
+                da_ = np.sort(np.asarray(da), 1)
+                dc_ = np.sort(np.asarray(dc), 1)
+                fin = np.isfinite(da_) & np.isfinite(dc_)
+                ft_ += ulp_units(da_[fin], dc_[fin])
+                totals[mode] = [gt_, ft_]
             if args.verbose:
                 print(i + 1, end=" ", flush=True)
         if args.verbose:
             print()
-        print(
-            f"Average graph diff count: {gtotal / args.average_over:g} "
-            f"(of {args.n * args.k} ids)\n"
-            f"Average float diff (1024-ULP units): {ftotal / args.average_over:g}"
-        )
+        for mode, (gt_, ft_) in totals.items():
+            print(
+                f"[graph_mode={mode}] Average graph diff count: "
+                f"{gt_ / args.average_over:g} (of {args.n * args.k} ids); "
+                f"float diff (1024-ULP units): {ft_ / args.average_over:g}"
+            )
     return 0
 
 

@@ -86,8 +86,12 @@ class TestCLIs:
         )
         out = capsys.readouterr().out
         assert rc == 0
-        gdiff = float(out.split("graph diff count: ")[1].split(" ")[0])
-        assert gdiff == 0.0
+        # one row per graph_mode: the hash pipeline (divergence-prone path
+        # the gate exists for) and the exact-graph path
+        rows = out.split("graph diff count: ")[1:]
+        assert len(rows) == 2 and "[graph_mode=hash]" in out
+        for row in rows:
+            assert float(row.split(" ")[0]) == 0.0
 
     def test_compare_results_query_mode(self, capsys):
         rc = compare_results.main(
