@@ -17,7 +17,8 @@ the measured landscape is richer (BASELINE.md):
   depth knob.
 
 ``Server`` wraps the choice; ``mode="auto"`` picks exact below
-``exact_max_n`` points (default 2M per chip) and hash beyond.
+``exact_max_n`` points (default 8M per chip — corpus-fits-in-HBM is the
+practical bound, see ``EXACT_MAX_N_DEFAULT``) and hash beyond.
 """
 
 from __future__ import annotations

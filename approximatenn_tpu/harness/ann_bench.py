@@ -109,11 +109,13 @@ def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto",
         "latency_s": round(float(np.median(lat)), 6),
         "index_mb": round(index_mb, 1),
         "layout": "packed" if packed else "table",
-        "supercharge_rounds": supercharge_rounds,
+        # packed serving always runs exactly 1 supercharge round (the
+        # search_packed pipeline has no knob); report what actually ran
+        "supercharge_rounds": 1 if packed else supercharge_rounds,
         **(
             {"window": pview.window, "super_width": pview.super_width,
-             "packed_dtype": str(np.dtype(packed_dtype or "float32"))
-             if packed_dtype != "bf16" else "bfloat16"}
+             "packed_dtype": {None: "float32", "f32": "float32",
+                              "bf16": "bfloat16"}[packed_dtype]}
             if packed else {}
         ),
     }
@@ -148,6 +150,9 @@ def main(argv=None) -> int:
     p.add_argument("--supercharge-rounds", type=int, default=1,
                    help="graph-expansion rounds at query time (reference: 1)")
     args = p.parse_args(argv)
+    if args.packed and args.supercharge_rounds != 1:
+        p.error("--packed always runs exactly 1 supercharge round; "
+                "--supercharge-rounds applies to the table layout only")
     cap = {"auto": "auto", "exact": None}.get(args.capacity, args.capacity)
     if isinstance(cap, str) and cap not in ("auto",):
         cap = int(cap)
