@@ -20,11 +20,25 @@ this host owns under the 1-D row sharding used by ``build_sharded``.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh
 
 from .sharded import AXIS
+
+# env vars whose presence means "this process was launched as part of a
+# cluster" — if any is set and bootstrap still fails, degrading to a silent
+# single-process run would mask a pod misconfiguration, so we re-raise.
+_CLUSTER_ENV_HINTS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",
+    "SLURM_JOB_ID",
+    "OMPI_COMM_WORLD_SIZE",
+)
 
 
 def initialize(
@@ -35,19 +49,31 @@ def initialize(
     """Bootstrap jax.distributed.  With no arguments, relies on the TPU
     runtime environment (TPU VM metadata / GKE injected vars), which is the
     normal production path; explicit args support manual clusters.  Safe to
-    call when already initialized (no-op) or single-process (no-op when no
-    coordinator can be inferred)."""
-    if jax.process_count() > 1:
+    call when already initialized (no-op).  Falls back to a local
+    single-process run ONLY when nothing suggested a cluster: explicit args
+    (even partial) or cluster env vars make failures loud."""
+    # NOT jax.process_count(): that initializes the XLA backend, after
+    # which jax.distributed.initialize refuses to run at all
+    if jax.distributed.is_initialized():
         return  # already initialized
+    explicit = not (
+        coordinator_address is None and num_processes is None and process_id is None
+    )
+    env_hints = [v for v in _CLUSTER_ENV_HINTS if os.environ.get(v)]
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
-        if coordinator_address is not None:
-            raise
+    except (ValueError, RuntimeError) as e:
+        if explicit or env_hints:
+            raise RuntimeError(
+                "jax.distributed bootstrap failed in a cluster context "
+                f"(explicit args: {explicit}, cluster env vars set: "
+                f"{env_hints or 'none'}); refusing to degrade to a silent "
+                "single-process run"
+            ) from e
         # single-process run with no cluster env: stay local
 
 

@@ -87,7 +87,23 @@ def _shard_points(points, mesh):
     n = points.shape[0]
     if n % s:
         raise ValueError(f"n={n} must be divisible by shard count {s} (pad upstream)")
+    if isinstance(points, jax.Array) and not points.is_fully_addressable:
+        # already a global (multi-host) array: device_put can't cross
+        # processes; the caller assembled it (process_local_array) and it
+        # is row-sharded by construction
+        return points
     return jax.device_put(points, NamedSharding(mesh, P(AXIS, None)))
+
+
+def _replicate(arr, mesh):
+    """Replicate a host array over every device of `mesh`, including
+    non-addressable ones (multi-host): each process contributes its
+    identical local copy."""
+    sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        arr = np.asarray(arr)
+        return jax.make_array_from_process_local_data(sharding, arr, arr.shape)
+    return jax.device_put(arr, sharding)
 
 
 def build_sharded(
@@ -191,10 +207,9 @@ def search_sharded(
         nprb = sidx.d_short + 1 if n_probes is None else n_probes
         ltot = sidx.tries * nprb * sidx.tmax
         block_rows = pick_block(m, ltot, sidx.d, 4, budget_bytes)
-    points = _shard_points(jnp.asarray(points, sidx.bases.dtype), mesh)
-    queries = jax.device_put(
-        jnp.asarray(queries, sidx.bases.dtype), NamedSharding(mesh, P())
-    )
+    points = _shard_points(points, mesh)
+    points = points if points.dtype == sidx.bases.dtype else points.astype(sidx.bases.dtype)
+    queries = _replicate(np.asarray(queries, sidx.bases.dtype), mesh)
 
     @partial(
         jax.shard_map, mesh=mesh,
@@ -241,8 +256,9 @@ def search_exact_sharded(points, queries, k: int, *, mesh: Mesh, block: int = 10
     n = points.shape[0]
     s = mesh.shape[AXIS]
     n_local = n // s
-    points = _shard_points(jnp.asarray(points), mesh)
-    queries = jax.device_put(jnp.asarray(queries), NamedSharding(mesh, P()))
+    points = _shard_points(points if isinstance(points, jax.Array)
+                           else jnp.asarray(points), mesh)
+    queries = _replicate(np.asarray(queries), mesh)
     kk = min(k, n_local)
     use_pallas = (
         mesh.devices.flat[0].platform in ("tpu", "axon") and kk <= 128
