@@ -18,7 +18,7 @@ for users coming from the C API.
 
 from .config import ftype, itype, set_ftype
 from .engine.build import build, build_graph_only
-from .engine.search import search, search_packed
+from .engine.search import search, search_packed, search_packed_fused
 from .engine.serving import Server
 from .index import ANNIndex, PackedIndex
 from .ops.distance import brute_force_knn, brute_force_knn_self
@@ -61,7 +61,7 @@ def query(index: ANNIndex, points, y, **kw):
 
 __all__ = [
     "ANNIndex", "PackedIndex", "Server", "build", "build_graph_only",
-    "search", "search_packed", "precomp", "query",
+    "search", "search_packed", "search_packed_fused", "precomp", "query",
     "brute_force_knn", "brute_force_knn_self", "exact_search",
     "ftype", "itype", "set_ftype",
 ]

@@ -170,6 +170,109 @@ _search_packed_jit = partial(
 )(search_packed_impl)
 
 
+def search_packed_fused_impl(pi: PackedIndex, points, queries,
+                             n_probes: int | None = None,
+                             window: int | None = None,
+                             query_block: int = 16,
+                             interpret: bool = False):
+    """Packed-layout query with the fused probe-window Pallas kernel
+    (:mod:`..ops.pallas_probe`) as the candidate stage.
+
+    Differences from :func:`search_packed_impl`: each probe's window
+    ``[start, start + window)`` is DMA'd directly (no super-row alignment,
+    no spillover — the candidate set is exactly the window), the per-table
+    distance + top-k runs on-chip, and only the ``tries * k`` winners per
+    query return to XLA for id mapping, cross-table merge and supercharge.
+    """
+    from ..ops.pallas_probe import probe_topk_pallas
+
+    n, k, d_short, tries = pi.n, pi.k, pi.d_short, pi.tries
+    d = pi.d
+    n_pad = pi.n_rows * pi.super_width
+    window = pi.window if window is None else window
+    window = max(1, min(int(window), n_pad))
+    dtype = pi.bases.dtype
+    m = queries.shape[0]
+    q = queries.astype(dtype)
+    yc = q - pi.row_means
+    if d_short:
+        proj = yc @ pi.bases.reshape(tries * d_short, d).T
+        proj = proj.reshape(m, tries, d_short)
+        codes = pack_signs(proj)
+    else:
+        proj = jnp.zeros((m, tries, 0), dtype)
+        codes = jnp.zeros((m, tries), itype)
+    if n_probes is None:
+        probes = probe_codes(codes, d_short)  # (m, tries, P)
+    else:
+        probes = probe_codes_directed(codes, proj, n_probes)
+    table_idx = jnp.arange(tries, dtype=itype)[None, :, None]
+    start = pi.starts[table_idx, probes]  # (m, tries, P)
+    start = jnp.minimum(start, n_pad - window)
+
+    pts_flat = pi.point_rows.reshape(tries * n_pad, d)
+    pos, dd = probe_topk_pallas(
+        pts_flat, q, start, k=k, n=n, n_pad=n_pad, window=window,
+        query_block=query_block, interpret=interpret,
+    )  # (m, tries, k) within-table slots + dists
+
+    ids_flat = pi.ids.reshape(-1)
+    gpos = pos + (jnp.arange(tries, dtype=itype) * n_pad)[None, :, None]
+    wids = ids_flat[jnp.minimum(gpos, ids_flat.shape[0] - 1)]
+    wids = jnp.where(jnp.isinf(dd), n, wids)
+    t1, td1 = dedup_topk(wids.reshape(m, -1), dd.reshape(m, -1), k, n)
+
+    safe = jnp.where(t1 < n, t1, 0)
+    exp = jnp.where((t1 < n)[..., None], pi.graph[safe], n)
+    cand2 = jnp.concatenate([t1, exp.reshape(-1, k * k)], axis=-1)
+    dd2 = candidate_dists(q, points, exp.reshape(-1, k * k))
+    dd2 = jnp.concatenate([td1, dd2], axis=-1)
+    return dedup_topk(cand2, dd2, k, n)
+
+
+_search_packed_fused_jit = partial(
+    jax.jit, static_argnames=("n_probes", "window", "query_block", "interpret")
+)(search_packed_fused_impl)
+
+
+def search_packed_fused(
+    pindex: PackedIndex,
+    points=None,
+    queries=None,
+    *,
+    n_probes: int | None = None,
+    window: int | None = None,
+    query_block: int = 16,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """:func:`search_packed` served through the fused probe-window Pallas
+    kernel — same contract ((ids, squared dists), sentinel n).  TPU-only
+    (``interpret=True`` runs the identical kernel on CPU for tests).
+    ``window`` overrides the view's per-probe read depth; ``query_block``
+    is the kernel's query tile (DMA concurrency = query_block * P)."""
+    if queries is None:
+        points, queries = None, points
+    if points is None:
+        if pindex.points is None:
+            raise ValueError(
+                "packed view does not store points; pass the build-time "
+                "point matrix or pack with store_points=True"
+            )
+        points = pindex.points
+    if pindex.metric != "l2":
+        from ..data.preprocess import prepare_points
+
+        queries = prepare_points(
+            jnp.asarray(queries, pindex.bases.dtype), pindex.metric
+        )
+    points = jnp.asarray(points, pindex.bases.dtype)
+    queries = jnp.asarray(queries, pindex.bases.dtype)
+    return _search_packed_fused_jit(
+        pindex, points, queries, n_probes=n_probes, window=window,
+        query_block=query_block, interpret=interpret,
+    )
+
+
 def search_packed(
     pindex: PackedIndex,
     points=None,

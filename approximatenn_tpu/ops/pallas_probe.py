@@ -1,0 +1,166 @@
+"""Fused hash-query Pallas kernel: probe-window DMA + distances + top-k.
+
+Role of ``compute_which`` + ``compdists`` + ``sort_and_uniq``
+(``/root/reference/compute.cl:238-263``, ``alg.c:303-337``), fused into one
+kernel over the packed bucket-CSR layout (SURVEY.md §7 step 3).
+
+Why this exists — the gather wall (docs/ARCHITECTURE.md): the XLA query
+path fetches every candidate row through XLA's gather, which costs
+~2.5-18 ns/row and degrades with source size; at 1M+ points the query is
+gather-bound, not flops-bound.  This kernel replaces the gather with
+direct HBM->VMEM DMAs of each probe's CSR window ``[start, start+window)``
+— no alignment games, no super-rows, no per-row cost — then computes
+squared distances on the VPU and selects a per-table top-k on-chip.  Only
+the per-table winners (tries * k ids per query) leave the kernel; the
+cross-table merge, id mapping and supercharge stay in XLA where they are
+tiny.
+
+The niche is exactly where the hash algorithm itself matters (the >8M /
+small-batch regime): exhaustive MXU search reads the whole corpus once per
+batch, so at small batches or 10M+ points the hash path's sublinear read
+volume wins IF the read runs at DMA speed rather than gather speed.
+
+Grid: ``(m / bq, tries)``; each step is self-contained (no cross-step
+carry): issue ``bq * P`` window DMAs, one VPU distance pass over
+``(bq, P*window, d)``, k rounds of masked-argmin selection (the
+``ops.topk`` idiom — Mosaic has no dynamic gather).  Positions within the
+packed table double as free within-table ids for dedup across overlapping
+probe windows, exactly as in ``search_packed``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import itype
+
+
+def _kernel(q_ref, ss_ref, sv_ref, pts_hbm, out_p_ref, out_d_ref, win, sems,
+            *, k: int, n: int, n_pad: int, window: int, P: int, bq: int):
+    t = pl.program_id(1)
+
+    # one DMA per (query, probe): the probe's CSR window, direct from HBM.
+    # All bq*P copies are issued before any wait so they pipeline against
+    # each other (DMA engines run ahead of the scalar core).
+    def copy(qq, p):
+        s = ss_ref[qq, 0, p]
+        return pltpu.make_async_copy(
+            pts_hbm.at[pl.ds(t * n_pad + s, window), :],
+            win.at[qq, pl.ds(p * window, window), :],
+            sems.at[qq, p],
+        )
+
+    for qq in range(bq):
+        for p in range(P):
+            copy(qq, p).start()
+    for qq in range(bq):
+        for p in range(P):
+            copy(qq, p).wait()
+
+    qv = q_ref[:].astype(jnp.float32)  # (bq, d)
+    w = win[:].astype(jnp.float32)  # (bq, L, d), L = P*window
+    diff = w - qv[:, None, :]
+    dd = jnp.sum(diff * diff, axis=-1)  # (bq, L)
+
+    # within-table positional ids: slot index in the packed table; the
+    # packed tail (pos >= n) is sentinel padding, and overlapping probe
+    # windows carry the same pos at the same distance -> dedup by pos
+    sv = sv_ref[:].reshape(bq, P)  # (bq, P) window starts
+    pos = (
+        sv[:, :, None] + jax.lax.broadcasted_iota(jnp.int32, (1, P, window), 2)
+    ).reshape(bq, P * window)
+    dd = jnp.where(pos < n, dd, jnp.inf)
+
+    big = jnp.iinfo(jnp.int32).max
+    d_, p_ = dd, pos
+    outs_d, outs_p = [], []
+    for _ in range(k):
+        dmin = jnp.min(d_, axis=-1, keepdims=True)
+        pmin = jnp.min(jnp.where(d_ == dmin, p_, big), axis=-1, keepdims=True)
+        pmin = jnp.where(jnp.isinf(dmin), n, pmin)
+        outs_d.append(dmin)
+        outs_p.append(pmin)
+        d_ = jnp.where(p_ == pmin, jnp.inf, d_)
+    out_d_ref[:, 0, :] = jnp.concatenate(outs_d, axis=-1)
+    out_p_ref[:, 0, :] = jnp.concatenate(outs_p, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "n", "n_pad", "window", "query_block", "interpret"),
+)
+def probe_topk_pallas(
+    pts_flat: jax.Array,
+    queries: jax.Array,
+    starts: jax.Array,
+    *,
+    k: int,
+    n: int,
+    n_pad: int,
+    window: int,
+    query_block: int = 16,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-table probe-window top-k over the packed CSR layout.
+
+    pts_flat (tries * n_pad, d): each table's packed point vectors (the
+    ``PackedIndex.point_rows`` buffer reshaped — same HBM layout).
+    queries (m, d); starts (m, tries, P) int32 window starts, already
+    clipped to [0, n_pad - window].  Returns (positions (m, tries, k)
+    int32 within-table slots ascending by distance — sentinel n where
+    exhausted — and squared distances (m, tries, k) f32).
+    """
+    m, d = queries.shape
+    tries, P = starts.shape[1], starts.shape[2]
+    bq = min(query_block, m)
+    nq_blocks = math.ceil(m / bq)
+    mp = nq_blocks * bq
+    if mp != m:
+        queries = jnp.pad(queries, [(0, mp - m), (0, 0)])
+        starts = jnp.pad(starts, [(0, mp - m), (0, 0), (0, 0)])
+    L = P * window
+    cdt = pts_flat.dtype
+
+    kernel = functools.partial(
+        _kernel, k=k, n=n, n_pad=n_pad, window=window, P=P, bq=bq
+    )
+    out_p, out_d = pl.pallas_call(
+        kernel,
+        grid=(nq_blocks, tries),
+        in_specs=[
+            pl.BlockSpec((bq, d), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+            # starts twice: scalar reads for DMA offsets (SMEM) and the
+            # vector form for the positional-id iota (VMEM)
+            pl.BlockSpec((bq, 1, P), lambda i, t: (i, t, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bq, 1, P), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # packed points stay in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((bq, 1, k), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 1, k), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, tries, k), jnp.int32),
+            jax.ShapeDtypeStruct((mp, tries, k), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, L, d), cdt),
+            pltpu.SemaphoreType.DMA((bq, P)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                # window scratch (x2 for the f32 upcast) + dd/pos blocks +
+                # selection temporaries + fixed headroom
+                2 * bq * L * d * 4 + 4 * bq * L * 4 + (8 << 20),
+                100 << 20,
+            ),
+        ),
+        interpret=interpret,
+    )(queries.astype(cdt), starts, starts, pts_flat)
+    return out_p[:m].astype(itype), out_d[:m]

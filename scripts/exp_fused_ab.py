@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""A/B the fused probe-window Pallas kernel (search_packed_fused) against
+the XLA paths (search / search_packed) — round-1 VERDICT item 3.
+
+Acceptance rule: the fused path must beat the incumbent serving QPS at
+equal recall, else the gather wall stands and we document why.  The
+interesting regimes (docs/ARCHITECTURE.md): large corpora and small
+batches, where exhaustive MXU scan pays its full corpus read per batch
+while probing reads sublinearly.
+
+Run 1M (fits f32 packed, tries=10):
+  PYTHONPATH=/root/.axon_site:/root/repo nohup python -u scripts/exp_fused_ab.py --n 1000000 > /tmp/ab1m.log 2>&1 &
+Run 10M (bf16 packed, tries=4 to fit HBM):
+  ... --n 10000000 --tries 4 --packed-dtype bf16 --capacity 48
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--nq", type=int, default=1000)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--tries", type=int, default=10)
+    ap.add_argument("--capacity", default="auto")
+    ap.add_argument("--packed-dtype", default=None, choices=[None, "f32", "bf16"])
+    ap.add_argument("--super-width", type=int, default=2)
+    ap.add_argument("--query-block", type=int, default=16)
+    ap.add_argument("--batches", type=int, nargs="+", default=[1000, 100])
+    ap.add_argument("--windows", type=int, nargs="+", default=[32, 64, 96])
+    ap.add_argument("--n-probes", type=int, default=18)
+    args = ap.parse_args()
+
+    import os
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+    import numpy as np
+
+    import approximatenn_tpu as ann
+    from approximatenn_tpu.harness.scoring import recall_at_k
+    from approximatenn_tpu.utils.profiling import fence
+
+    from exp_10m_hash import synth_clustered  # same corpus generator
+
+    n, d, nq, k = args.n, args.d, args.nq, args.k
+    cap = args.capacity if args.capacity == "auto" else int(args.capacity)
+    pdt = {None: None, "f32": jnp.float32, "bf16": jnp.bfloat16}[args.packed_dtype]
+
+    X, Y = synth_clustered(n, d, nq)
+    fence([X, Y])
+    tq, _ = ann.exact_search(X, Y, k)
+    tq = np.asarray(tq)
+    print(json.dumps({"stage": "gt done", "n": n, "d": d}), flush=True)
+
+    t0 = time.perf_counter()
+    index, graph, _ = ann.build(X, k, tries=args.tries, seed=7, capacity=cap,
+                                n_probes=args.n_probes)
+    fence([graph])
+    print(json.dumps({"stage": "build", "s": round(time.perf_counter() - t0, 1),
+                      "tmax": index.tmax, "graph_mode": "auto"}), flush=True)
+    pv = index.packed(X, super_width=args.super_width, dtype=pdt,
+                      store_points=False)
+    fence([pv.point_rows])
+    print(json.dumps({"stage": "packed",
+                      "packed_gb": round(pv.memory_bytes() / 2**30, 2)}),
+          flush=True)
+
+    def bench(label, fn, batch, reps=5):
+        try:
+            out = fn()
+            fence(out)
+        except Exception as e:
+            print(json.dumps({"config": label, "batch": batch,
+                              "error": repr(e)[:200]}), flush=True)
+            return
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(reps)]
+        fence(outs)
+        dt = (time.perf_counter() - t0) / reps
+        ids = np.asarray(out[0])
+        rec = recall_at_k(tq[: ids.shape[0]], ids, k)
+        print(json.dumps({
+            "config": label, "batch": batch, "qps": round(batch / dt, 1),
+            "ms_per_batch": round(dt * 1e3, 2), "recall_at_10": round(rec, 4),
+        }), flush=True)
+
+    P = args.n_probes
+    for batch in args.batches:
+        Yb = Y[:batch]
+        bench(f"table directed P={P}",
+              lambda: ann.search(index, X, Yb, n_probes=P), batch)
+        for w in args.windows:
+            bench(f"packed-xla w={w} P={P}",
+                  lambda w=w: ann.search_packed(pv.with_window(w), X, Yb,
+                                                n_probes=P), batch)
+            bench(f"FUSED w={w} P={P} bq={args.query_block}",
+                  lambda w=w: ann.search_packed_fused(
+                      pv, X, Yb, n_probes=P, window=w,
+                      query_block=args.query_block), batch)
+        bench("exact (Pallas)", lambda: ann.exact_search(X, Yb, k), batch)
+
+
+if __name__ == "__main__":
+    main()

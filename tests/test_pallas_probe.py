@@ -1,0 +1,117 @@
+"""Fused probe-window kernel (ops/pallas_probe) vs a jnp oracle.
+
+Runs the identical kernel in interpret mode on CPU (as test_pallas.py does
+for the exact kernel); the oracle gathers the same CSR windows with plain
+jnp indexing and reduces with the library's dedup/top-k ops.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import approximatenn_tpu as ann
+from approximatenn_tpu.engine.search import search_packed_fused
+from approximatenn_tpu.ops.pallas_probe import probe_topk_pallas
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    rng = np.random.default_rng(99)
+    X = jnp.asarray(rng.standard_normal((3000, 32)).astype(np.float32))
+    Y = jnp.asarray(rng.standard_normal((37, 32)).astype(np.float32))
+    index, _, _ = ann.build(X, 8, tries=4, seed=11, store_points=True)
+    pv = index.packed(super_width=2)
+    return X, Y, index, pv
+
+
+def _oracle_positions(pv, queries, starts, window, k):
+    """Same candidate semantics as the kernel, via plain jnp gathers."""
+    n, tries = pv.n, pv.tries
+    n_pad = pv.n_rows * pv.super_width
+    d = pv.d
+    pts = pv.point_rows.reshape(tries, n_pad, d)
+    m, _, P = starts.shape
+    win_ix = starts[..., None] + jnp.arange(window)  # (m, tries, P, window)
+    out_p, out_d = [], []
+    for t in range(tries):
+        pos = win_ix[:, t].reshape(m, P * window)  # within-table slots
+        cand = pts[t][pos]  # (m, L, d)
+        dd = jnp.sum((cand - queries[:, None, :]) ** 2, -1)
+        dd = jnp.where(pos < n, dd, jnp.inf)
+        from approximatenn_tpu.ops.topk import dedup_topk
+
+        tp, td = dedup_topk(pos.astype(jnp.int32), dd, k, n)
+        out_p.append(tp)
+        out_d.append(td)
+    return jnp.stack(out_p, 1), jnp.stack(out_d, 1)
+
+
+def test_kernel_matches_oracle(setup):
+    X, Y, index, pv = setup
+    from approximatenn_tpu.ops.hash import pack_signs, probe_codes
+
+    n_pad = pv.n_rows * pv.super_width
+    window = 24
+    m = Y.shape[0]
+    yc = Y - pv.row_means
+    proj = yc @ pv.bases.reshape(pv.tries * pv.d_short, pv.d).T
+    codes = pack_signs(proj.reshape(m, pv.tries, pv.d_short))
+    probes = probe_codes(codes, pv.d_short)
+    table_idx = jnp.arange(pv.tries, dtype=jnp.int32)[None, :, None]
+    starts = jnp.minimum(pv.starts[table_idx, probes], n_pad - window)
+
+    pts_flat = pv.point_rows.reshape(pv.tries * n_pad, pv.d)
+    pos, dd = probe_topk_pallas(
+        pts_flat, Y, starts, k=pv.k, n=pv.n, n_pad=n_pad, window=window,
+        query_block=16, interpret=True,
+    )
+    opos, odd = _oracle_positions(pv, Y, starts, window, pv.k)
+    # same positions (ties can reorder equal distances; compare sets+dists)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(dd), -1), np.sort(np.asarray(odd), -1),
+        rtol=1e-5, atol=1e-5,
+    )
+    got = np.sort(np.where(np.isinf(np.asarray(dd)), pv.n, np.asarray(pos)), -1)
+    want = np.sort(np.where(np.isinf(np.asarray(odd)), pv.n, np.asarray(opos)), -1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_end_to_end_recall(setup):
+    X, Y, index, pv = setup
+    ids_f, dd_f = search_packed_fused(pv, queries=Y, interpret=True)
+    assert ids_f.shape == (37, 8)
+    tq, _ = ann.brute_force_knn(X, Y, 8)
+    tq, got = np.asarray(tq), np.asarray(ids_f)
+    recall = np.mean([
+        len(set(got[i]) & set(tq[i])) / 8 for i in range(got.shape[0])
+    ])
+    # candidate semantics ~= packed path; must be in the same quality band
+    ids_p, _ = ann.search_packed(pv, queries=Y)
+    ref = np.asarray(ids_p)
+    recall_p = np.mean([
+        len(set(ref[i]) & set(tq[i])) / 8 for i in range(ref.shape[0])
+    ])
+    assert recall >= recall_p - 0.05, (recall, recall_p)
+    # distances are true squared L2 on raw coords for returned ids
+    fin = got < X.shape[0]
+    d2 = np.asarray(
+        jnp.sum((X[np.where(fin, got, 0)] - np.asarray(Y)[:, None, :]) ** 2, -1)
+    )
+    np.testing.assert_allclose(
+        np.where(fin, d2, 0), np.where(fin, np.asarray(dd_f), 0),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_fused_window_override(setup):
+    X, Y, index, pv = setup
+    ids_small, _ = search_packed_fused(pv, queries=Y, window=4, interpret=True)
+    ids_big, _ = search_packed_fused(pv, queries=Y, window=64, interpret=True)
+    tq, _ = ann.brute_force_knn(X, Y, 8)
+    tq = np.asarray(tq)
+
+    def rec(ids):
+        g = np.asarray(ids)
+        return np.mean([len(set(g[i]) & set(tq[i])) / 8 for i in range(len(g))])
+
+    assert rec(ids_big) >= rec(ids_small)  # window is the depth/recall knob
