@@ -28,17 +28,28 @@ from jax.sharding import Mesh
 
 from .sharded import AXIS
 
-# env vars whose presence means "this process was launched as part of a
-# cluster" — if any is set and bootstrap still fails, degrading to a silent
-# single-process run would mask a pod misconfiguration, so we re-raise.
-_CLUSTER_ENV_HINTS = (
-    "JAX_COORDINATOR_ADDRESS",
-    "COORDINATOR_ADDRESS",
-    "MEGASCALE_COORDINATOR_ADDRESS",
-    "TPU_WORKER_HOSTNAMES",
-    "SLURM_JOB_ID",
-    "OMPI_COMM_WORLD_SIZE",
-)
+def _cluster_env_hints() -> list[str]:
+    """Env vars whose values imply this process is one of SEVERAL — if any
+    is present and bootstrap still fails, degrading to a silent
+    single-process run would mask a pod misconfiguration, so we re-raise.
+    Presence alone is not enough: single-host TPU runtimes set
+    TPU_WORKER_HOSTNAMES to the one local worker, and SLURM sets job vars
+    for 1-task jobs, so each hint must actually indicate >1 participant."""
+    hints = []
+    for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+              "MEGASCALE_COORDINATOR_ADDRESS"):
+        if os.environ.get(v):
+            hints.append(v)
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hosts.split(",") if h.strip()]) > 1:
+        hints.append("TPU_WORKER_HOSTNAMES")
+    for v in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE"):
+        try:
+            if int(os.environ.get(v, "")) > 1:
+                hints.append(v)
+        except ValueError:
+            pass
+    return hints
 
 
 def initialize(
@@ -59,7 +70,7 @@ def initialize(
     explicit = not (
         coordinator_address is None and num_processes is None and process_id is None
     )
-    env_hints = [v for v in _CLUSTER_ENV_HINTS if os.environ.get(v)]
+    env_hints = _cluster_env_hints()
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -106,13 +106,20 @@ def test_initialize_fails_loudly_with_cluster_env(monkeypatch):
     # inconsistent explicit args (num_processes without coordinator)
     with pytest.raises(RuntimeError, match="refusing to degrade"):
         multihost.initialize(num_processes=2)
-    # cluster env hint present
-    monkeypatch.setenv("SLURM_JOB_ID", "12345")
+    # cluster env hints implying >1 participant must raise
+    monkeypatch.setenv("SLURM_NTASKS", "2")
     with pytest.raises(RuntimeError, match="refusing to degrade"):
         multihost.initialize()
-    monkeypatch.delenv("SLURM_JOB_ID")
-    # bare single-process: silent no-op fallback is correct (scrub the
-    # hint vars this sandbox's TPU tunnel exports)
-    for v in multihost._CLUSTER_ENV_HINTS:
+    monkeypatch.delenv("SLURM_NTASKS")
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+    with pytest.raises(RuntimeError, match="refusing to degrade"):
+        multihost.initialize()
+    # single-participant values of the same vars are NOT cluster evidence
+    # (single-host TPU runtimes set TPU_WORKER_HOSTNAMES to the one local
+    # worker; SLURM sets job vars for 1-task jobs) -> silent local fallback
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+              "MEGASCALE_COORDINATOR_ADDRESS", "OMPI_COMM_WORLD_SIZE"):
         monkeypatch.delenv(v, raising=False)
     multihost.initialize()
