@@ -49,7 +49,7 @@ def _kernel(q_ref, ss_ref, sv_ref, pts_hbm, out_p_ref, out_d_ref, win, sems,
     # All bq*P copies are issued before any wait so they pipeline against
     # each other (DMA engines run ahead of the scalar core).
     def copy(qq, p):
-        s = ss_ref[qq, 0, p]
+        s = ss_ref[qq, t, p]
         return pltpu.make_async_copy(
             pts_hbm.at[pl.ds(t * n_pad + s, window), :],
             win.at[qq, pl.ds(p * window, window), :],
@@ -70,11 +70,19 @@ def _kernel(q_ref, ss_ref, sv_ref, pts_hbm, out_p_ref, out_d_ref, win, sems,
 
     # within-table positional ids: slot index in the packed table; the
     # packed tail (pos >= n) is sentinel padding, and overlapping probe
-    # windows carry the same pos at the same distance -> dedup by pos
-    sv = sv_ref[:].reshape(bq, P)  # (bq, P) window starts
-    pos = (
-        sv[:, :, None] + jax.lax.broadcasted_iota(jnp.int32, (1, P, window), 2)
-    ).reshape(bq, P * window)
+    # windows carry the same pos at the same distance -> dedup by pos.
+    # Built as 2D iota + P lane-range selects (Mosaic has no 3D->2D
+    # shape cast): lane j of probe p holds start_p + (j - p*window).
+    sv = sv_ref[:, t, :]  # (bq, P) window starts for this table
+    L = P * window
+    j = jax.lax.broadcasted_iota(jnp.int32, (bq, L), 1)
+    pos = jnp.zeros((bq, L), jnp.int32)
+    for p in range(P):
+        pos = jnp.where(
+            (j >= p * window) & (j < (p + 1) * window),
+            sv[:, p : p + 1] + (j - p * window),
+            pos,
+        )
     dd = jnp.where(pos < n, dd, jnp.inf)
 
     big = jnp.iinfo(jnp.int32).max
@@ -87,8 +95,8 @@ def _kernel(q_ref, ss_ref, sv_ref, pts_hbm, out_p_ref, out_d_ref, win, sems,
         outs_d.append(dmin)
         outs_p.append(pmin)
         d_ = jnp.where(p_ == pmin, jnp.inf, d_)
-    out_d_ref[:, 0, :] = jnp.concatenate(outs_d, axis=-1)
-    out_p_ref[:, 0, :] = jnp.concatenate(outs_p, axis=-1)
+    out_d_ref[:, t, :] = jnp.concatenate(outs_d, axis=-1)
+    out_p_ref[:, t, :] = jnp.concatenate(outs_p, axis=-1)
 
 
 @functools.partial(
@@ -119,6 +127,15 @@ def probe_topk_pallas(
     m, d = queries.shape
     tries, P = starts.shape[1], starts.shape[2]
     bq = min(query_block, m)
+    # auto-shrink the query tile so the kernel's VMEM tenants fit: the
+    # window scratch (bq,L,d in the point dtype), the f32 diff tensor the
+    # VPU pass materializes, and the dd/pos planes.  Oversized tiles fail
+    # Mosaic compilation outright (observed at bq=64, L=1152, d=128).
+    csize = jnp.dtype(pts_flat.dtype).itemsize
+    while bq > 1 and P * window * d * (csize + 4) * bq + 8 * P * window * bq * 4 > (
+        88 << 20
+    ):
+        bq //= 2
     nq_blocks = math.ceil(m / bq)
     mp = nq_blocks * bq
     if mp != m:
@@ -136,14 +153,24 @@ def probe_topk_pallas(
         in_specs=[
             pl.BlockSpec((bq, d), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
             # starts twice: scalar reads for DMA offsets (SMEM) and the
-            # vector form for the positional-id iota (VMEM)
-            pl.BlockSpec((bq, 1, P), lambda i, t: (i, t, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bq, 1, P), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
+            # vector form for the positional-id iota (VMEM).  Blocks span
+            # the full (tries, P) trailing dims — Mosaic requires the last
+            # two block dims be (8,128)-divisible or equal to the array's;
+            # the kernel slices its table with the dynamic grid index t.
+            pl.BlockSpec((bq, tries, P), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((bq, tries, P), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # packed points stay in HBM
         ],
         out_specs=[
-            pl.BlockSpec((bq, 1, k), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bq, 1, k), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
+            # one VMEM-resident (bq, tries, k) window per query block,
+            # revisited by the tries consecutive grid steps (t varies
+            # fastest) — each step fills its own [:, t, :] slice
+            pl.BlockSpec((bq, tries, k), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, tries, k), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((mp, tries, k), jnp.int32),
@@ -155,9 +182,9 @@ def probe_topk_pallas(
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
-                # window scratch (x2 for the f32 upcast) + dd/pos blocks +
+                # window scratch + f32 diff tensor + dd/pos blocks +
                 # selection temporaries + fixed headroom
-                2 * bq * L * d * 4 + 4 * bq * L * 4 + (8 << 20),
+                bq * L * d * (csize + 4) + 8 * bq * L * 4 + (8 << 20),
                 100 << 20,
             ),
         ),

@@ -27,9 +27,13 @@ def synth_clustered(n, d, nq, n_clusters=10_000, spread=2.0, seed=0):
 
     kc, ka, kx, kq, kp = jax.random.split(jax.random.PRNGKey(seed), 5)
     centers = jax.random.normal(kc, (n_clusters, d), jnp.float32) * spread
-    # zipf-ish cluster popularity: p_i ∝ (i+1)^-1.05
-    logits = -1.05 * jnp.log(jnp.arange(1, n_clusters + 1, dtype=jnp.float32))
-    cid = jax.random.categorical(ka, logits, shape=(n,))
+    # zipf-ish cluster popularity: p_i ∝ (i+1)^-1.05, sampled by inverse
+    # CDF (categorical would broadcast logits to (n, n_clusters) — 37 GB
+    # at n=1M — searchsorted is O(n log C) and O(C) memory)
+    w = jnp.arange(1, n_clusters + 1, dtype=jnp.float32) ** -1.05
+    cdf = jnp.cumsum(w) / jnp.sum(w)
+    u = jax.random.uniform(ka, (n,), jnp.float32)
+    cid = jnp.clip(jnp.searchsorted(cdf, u), 0, n_clusters - 1)
     X = centers[cid] + jax.random.normal(kx, (n, d), jnp.float32)
     qi = jax.random.randint(kq, (nq,), 0, n)
     Y = X[qi] + 0.1 * jax.random.normal(kp, (nq, d), jnp.float32)
