@@ -30,10 +30,16 @@ from ..ops.topk import dedup_topk
 
 
 def search_impl(index: ANNIndex, points, queries, block_rows: int,
-                n_probes: int | None = None, supercharge_rounds: int = 1):
+                n_probes: int | None = None, supercharge_rounds: int = 1,
+                rerank_width: int | None = None):
     n, k, d_short, tries, tmax = (
         index.n, index.k, index.d_short, index.tries, index.tmax,
     )
+    # widened intermediate pool: keep kk >= k candidates through the merge
+    # and supercharge stages (their true distances are already computed),
+    # reduce to k only at the end — recall lever at ~(kk/k)x supercharge
+    # cost and zero extra bucket reads
+    kk = k if rerank_width is None else max(int(rerank_width), k)
     dtype = index.bases.dtype
     m, d = queries.shape
     q = queries.astype(dtype)
@@ -60,18 +66,20 @@ def search_impl(index: ANNIndex, points, queries, block_rows: int,
         cand = index.tables[table_idx, probes]
         cand = cand.reshape(cand.shape[0], -1)  # (B, tries*P*tmax)
         dd = candidate_dists(qb, points, cand)
-        t1, td1 = dedup_topk(cand, dd, k, n)
+        t1, td1 = dedup_topk(cand, dd, kk, n)
         # supercharge via the stored graph (alg.c:507-512); the reference
         # runs exactly one round — extra rounds walk the graph further
-        # (each costs one k*k gather + distance pass), a cheap recall
+        # (each costs one kk*k gather + distance pass), a cheap recall
         # knob now that the stored graph is exact
         for _ in range(supercharge_rounds):
             safe = jnp.where(t1 < n, t1, 0)
             exp = jnp.where((t1 < n)[..., None], index.graph[safe], n)
-            cand2 = jnp.concatenate([t1, exp.reshape(-1, k * k)], axis=-1)
-            dd2 = candidate_dists(qb, points, exp.reshape(-1, k * k))
+            cand2 = jnp.concatenate([t1, exp.reshape(-1, kk * k)], axis=-1)
+            dd2 = candidate_dists(qb, points, exp.reshape(-1, kk * k))
             dd2 = jnp.concatenate([td1, dd2], axis=-1)
-            t1, td1 = dedup_topk(cand2, dd2, k, n)
+            t1, td1 = dedup_topk(cand2, dd2, kk, n)
+        if kk != k:
+            t1, td1 = t1[:, :k], td1[:, :k]
         return t1, td1
 
     return blocked_over_rows(
@@ -80,7 +88,10 @@ def search_impl(index: ANNIndex, points, queries, block_rows: int,
 
 
 _search_jit = partial(
-    jax.jit, static_argnames=("block_rows", "n_probes", "supercharge_rounds")
+    jax.jit,
+    static_argnames=(
+        "block_rows", "n_probes", "supercharge_rounds", "rerank_width"
+    ),
 )(search_impl)
 
 
@@ -328,8 +339,15 @@ def search(
     block_rows: int | None = None,
     n_probes: int | None = None,
     supercharge_rounds: int = 1,
+    rerank_width: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Find the k approximate nearest neighbors of each query.
+
+    ``rerank_width``: keep this many candidates (>= k) through the merge
+    and supercharge stages instead of k, reducing to k only at the very
+    end.  The wider pool feeds supercharge more seeds (graph rows of the
+    top ``rerank_width``), buying recall for ~(width/k)x supercharge cost
+    with zero extra bucket reads; None = k (reference behavior).
 
     ``supercharge_rounds``: graph-expansion rounds after the bucket
     candidates (the reference runs exactly 1, ``alg.c:507-512``); more
@@ -373,4 +391,5 @@ def search(
     queries = jnp.asarray(queries, index.bases.dtype)
     return _search_jit(index, points, queries, block_rows=block_rows,
                        n_probes=n_probes,
-                       supercharge_rounds=supercharge_rounds)
+                       supercharge_rounds=supercharge_rounds,
+                       rerank_width=rerank_width)

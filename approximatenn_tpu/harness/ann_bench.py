@@ -27,7 +27,7 @@ import numpy as np
 
 def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto",
                n_probes=None, packed=False, window=None, super_width=16,
-               packed_dtype=None, supercharge_rounds=1):
+               packed_dtype=None, supercharge_rounds=1, rerank_width=None):
     import jax.numpy as jnp
 
     # device->host scalar read of the LAST output: the only reliable
@@ -57,6 +57,8 @@ def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto",
     skw = dict(n_probes=n_probes)
     if not packed and supercharge_rounds != 1:
         skw["supercharge_rounds"] = supercharge_rounds
+    if not packed and rerank_width is not None:
+        skw["rerank_width"] = rerank_width
     if packed:
         pdt = {"bf16": jnp.bfloat16, "f32": jnp.float32, None: None}.get(
             packed_dtype, packed_dtype
@@ -112,6 +114,8 @@ def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto",
         # packed serving always runs exactly 1 supercharge round (the
         # search_packed pipeline has no knob); report what actually ran
         "supercharge_rounds": 1 if packed else supercharge_rounds,
+        **({"rerank_width": rerank_width}
+           if not packed and rerank_width is not None else {}),
         **(
             {"window": pview.window, "super_width": pview.super_width,
              "packed_dtype": {None: "float32", "f32": "float32",
@@ -149,10 +153,15 @@ def main(argv=None) -> int:
                    help="packed vector storage dtype")
     p.add_argument("--supercharge-rounds", type=int, default=1,
                    help="graph-expansion rounds at query time (reference: 1)")
+    p.add_argument("--rerank-width", type=int, default=None,
+                   help="keep this many candidates (>= k) through merge + "
+                        "supercharge, reduce to k at the end (recall knob)")
     args = p.parse_args(argv)
     if args.packed and args.supercharge_rounds != 1:
         p.error("--packed always runs exactly 1 supercharge round; "
                 "--supercharge-rounds applies to the table layout only")
+    if args.packed and args.rerank_width is not None:
+        p.error("--rerank-width applies to the table layout only")
     cap = {"auto": "auto", "exact": None}.get(args.capacity, args.capacity)
     if isinstance(cap, str) and cap not in ("auto",):
         cap = int(cap)
@@ -176,7 +185,8 @@ def main(argv=None) -> int:
                          packed=args.packed, window=args.window,
                          super_width=args.super_width,
                          packed_dtype=args.packed_dtype,
-                         supercharge_rounds=args.supercharge_rounds)
+                         supercharge_rounds=args.supercharge_rounds,
+                         rerank_width=args.rerank_width)
         print(json.dumps(rec), flush=True)
     return 0
 

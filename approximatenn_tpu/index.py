@@ -311,7 +311,7 @@ class ANNIndex:
         layout (sum over tables of 2^d_short * par_maxes[i] ids) for
         equal-memory comparisons; ragged=False prices the padded on-device
         layout actually held in HBM."""
-        f = np.dtype(np.asarray(self.row_means).dtype).itemsize
+        f = np.dtype(self.row_means.dtype).itemsize
         base = self.row_means.size * f + self.bases.size * f + self.graph.size * 4
         if ragged:
             tables = int(self.par_maxes().sum()) * self.n_buckets * 4
@@ -397,10 +397,12 @@ class PackedIndex:
         return dataclasses.replace(self, window=window)
 
     def memory_bytes(self) -> int:
-        f = np.dtype(np.asarray(self.row_means).dtype).itemsize
+        # read dtypes off the array objects — np.asarray would pull the
+        # (multi-GB at 1M+) buffers device->host just to inspect them
+        f = np.dtype(self.row_means.dtype).itemsize
         base = self.row_means.size * f + self.bases.size * f + self.graph.size * 4
         packed = (
-            self.point_rows.size * np.dtype(np.asarray(self.point_rows).dtype).itemsize
+            self.point_rows.size * np.dtype(self.point_rows.dtype).itemsize
             + self.ids.size * 4 + self.starts.size * 4
         )
         pts = 0 if self.points is None else self.points.size * f

@@ -105,6 +105,23 @@ class TestSearch:
         assert r[1] >= r[0] - 0.02  # one round helps (reference semantics)
         assert r[2] >= r[1] - 0.02  # more rounds never meaningfully hurt
 
+    def test_rerank_width_monotone_recall(self, built, default_data):
+        X, Y = default_data
+        idx, _, _ = built
+        r = []
+        for width in (None, 30, 60):
+            ids, dists = ann.search(idx, X, Y, rerank_width=width)
+            assert ids.shape == (Y.shape[0], 10)
+            d = np.asarray(dists)
+            assert (np.diff(d, axis=1) >= -1e-6).all()
+            s = score_guesses(X, Y, np.asarray(ids), 10)
+            r.append(s.prob_correct)
+        # a wider pool feeds supercharge more seeds: recall never
+        # meaningfully drops, and the widest pool is at least as good as
+        # the reference-width baseline
+        assert r[1] >= r[0] - 0.02
+        assert r[2] >= r[0] - 0.02
+
     def test_query_recall_default_point(self, built, default_data):
         X, Y = default_data
         idx, _, _ = built
