@@ -31,6 +31,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("dtype", "out_rows"))
+def _packed_rows(points, ids, dtype, out_rows):
+    """Gather packed point rows: (tries, n_pad) ids -> (out_rows, w*d).
+
+    Every sentinel slot (id >= n: CSR padding and tombstoned points) gets a
+    +inf vector, the global sentinel invariant — its distance is +inf to
+    any finite query regardless of how downstream masks.  Fused under jit
+    so gather, mask, and reshape share one output allocation.
+    """
+    n = points.shape[0]
+    safe = jnp.where(ids < n, ids, 0)
+    pts = points.astype(dtype)[safe]  # (tries, n_pad, d)
+    pts = jnp.where((ids >= n)[..., None], jnp.asarray(jnp.inf, dtype), pts)
+    return pts.reshape(out_rows, -1)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ANNIndex:
@@ -264,14 +283,15 @@ class ANNIndex:
             # +inf vector makes their distance +inf in the diff^2 pass
             is_dead = self.dead[jnp.clip(ids, 0, n)]
             ids = jnp.where(is_dead, n, ids)
-        safe = jnp.where(ids < n, ids, 0)
-        pts = points.astype(dtype)[safe]  # (tries, n_pad, d)
-        if self.dead is not None:
-            pts = jnp.where(is_dead[..., None], jnp.asarray(jnp.inf, dtype), pts)
+        # jit the gather -> sentinel-mask -> reshape so XLA fuses them into
+        # ONE output buffer; dispatched eagerly each op materializes the
+        # full (tries, n_pad, d) intermediate (5+ GB at 1M x 128 x 10
+        # tries) and the reshape copy OOMs next to the padded tables
+        rows = _packed_rows(points, ids, dtype, self.tries * n_rows)
         return PackedIndex(
             row_means=self.row_means,
             bases=self.bases,
-            point_rows=pts.reshape(self.tries * n_rows, w * d),
+            point_rows=rows,
             ids=ids,
             starts=starts,
             graph=self.graph,
