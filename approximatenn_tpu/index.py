@@ -24,6 +24,7 @@ index can be saved/loaded — a new capability, via ``.npz``.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any
 
 import jax
@@ -258,8 +259,14 @@ class ANNIndex:
         w = max(1, int(super_width))
         dtype = jnp.dtype(points.dtype if dtype is None else dtype)
         n, d = points.shape
-        n_rows = -(-(n + 1) // w)  # ceil over n+1: slot for sentinel id n
-        n_pad = n_rows * w
+        # ceil over n+1 (slot for sentinel id n), then round the per-table
+        # slot count up so n_pad % 8 == 0: HBM memrefs are (8,128)-tiled
+        # on TPU, and the fused probe kernel's window DMAs must start at
+        # provably 8-aligned row offsets — t * n_pad must be a multiple
+        # of 8 for every table index t (ops/pallas_probe.py)
+        lcm8 = math.lcm(w, 8)
+        n_pad = -(-(n + 1) // lcm8) * lcm8
+        n_rows = n_pad // w
         from .ops.buckets import pack_tables
 
         # codes are recomputed from the stored bases (cheap: one matmul);

@@ -48,8 +48,14 @@ def _kernel(q_ref, ss_ref, sv_ref, pts_hbm, out_p_ref, out_d_ref, win, sems,
     # one DMA per (query, probe): the probe's CSR window, direct from HBM.
     # All bq*P copies are issued before any wait so they pipeline against
     # each other (DMA engines run ahead of the scalar core).
+    # ss_ref holds starts PRE-DIVIDED by 8: HBM memrefs are (8,128)-tiled
+    # and Mosaic must PROVE the dim-0 slice start is 8-divisible — a raw
+    # dynamic CSR offset fails that proof ("Failed to prove that a tile
+    # index in dimension 0 is divisible by the tiling (8)"), while
+    # ``s8 * 8 + t * n_pad`` is provable (n_pad % 8 == 0 by packed()'s
+    # construction, asserted by the caller).
     def copy(qq, p):
-        s = ss_ref[qq, t, p]
+        s = ss_ref[qq, t, p] * 8
         return pltpu.make_async_copy(
             pts_hbm.at[pl.ds(t * n_pad + s, window), :],
             win.at[qq, pl.ds(p * window, window), :],
@@ -73,7 +79,7 @@ def _kernel(q_ref, ss_ref, sv_ref, pts_hbm, out_p_ref, out_d_ref, win, sems,
     # windows carry the same pos at the same distance -> dedup by pos.
     # Built as 2D iota + P lane-range selects (Mosaic has no 3D->2D
     # shape cast): lane j of probe p holds start_p + (j - p*window).
-    sv = sv_ref[:, t, :]  # (bq, P) window starts for this table
+    sv = sv_ref[:, t, :] * 8  # (bq, P) window starts (stored /8) for table t
     L = P * window
     j = jax.lax.broadcasted_iota(jnp.int32, (bq, L), 1)
     pos = jnp.zeros((bq, L), jnp.int32)
@@ -123,9 +129,23 @@ def probe_topk_pallas(
     clipped to [0, n_pad - window].  Returns (positions (m, tries, k)
     int32 within-table slots ascending by distance — sentinel n where
     exhausted — and squared distances (m, tries, k) f32).
+
+    Each window is widened to an 8-aligned superset [8*(start//8),
+    8*(start//8) + round_up(window+7, 8)) — HBM row DMAs must start at
+    provably 8-aligned offsets (the (8,128) tiling); the <= 7 extra slots
+    on each side are real packed entries that simply join the candidate
+    pool (dedup keeps min-distance copies), so recall can only improve.
     """
     m, d = queries.shape
     tries, P = starts.shape[1], starts.shape[2]
+    if n_pad % 8:
+        raise ValueError(
+            f"n_pad={n_pad} must be 8-aligned (repack with "
+            "ANNIndex.packed(); its slot count is lcm(super_width, 8)-"
+            "rounded precisely so per-table HBM offsets stay DMA-alignable)"
+        )
+    window = min(-(-(window + 7) // 8) * 8, n_pad)
+    starts = jnp.clip(starts // 8, 0, (n_pad - window) // 8)
     bq = min(query_block, m)
     # auto-shrink the query tile so the kernel's VMEM tenants fit: the
     # window scratch (bq,L,d in the point dtype), the f32 diff tensor the

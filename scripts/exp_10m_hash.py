@@ -130,6 +130,9 @@ def main():
         for P in (18, 48):
             bench(f"hash directed P={P}",
                   lambda: ann.search(index, X, Yb, n_probes=P), batch)
+        bench("hash directed P=18 rerank=50",
+              lambda: ann.search(index, X, Yb, n_probes=18, rerank_width=50),
+              batch)
         bench("exact (Pallas)", lambda: ann.exact_search(X, Yb, k), batch)
 
 

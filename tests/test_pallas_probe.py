@@ -65,7 +65,11 @@ def test_kernel_matches_oracle(setup):
         pts_flat, Y, starts, k=pv.k, n=pv.n, n_pad=n_pad, window=window,
         query_block=16, interpret=True,
     )
-    opos, odd = _oracle_positions(pv, Y, starts, window, pv.k)
+    # the kernel widens each window to its 8-aligned superset (HBM DMA
+    # rows must start 8-aligned); feed the oracle the same windows
+    win_al = min(-(-(window + 7) // 8) * 8, n_pad)
+    starts_al = jnp.clip(starts // 8, 0, (n_pad - win_al) // 8) * 8
+    opos, odd = _oracle_positions(pv, Y, starts_al, win_al, pv.k)
     # same positions (ties can reorder equal distances; compare sets+dists)
     np.testing.assert_allclose(
         np.sort(np.asarray(dd), -1), np.sort(np.asarray(odd), -1),
