@@ -264,11 +264,16 @@ def graph_stage_chunked(points, codes, counts, *, k, d_short, tmax, block_rows,
     if bases is None:
         bases = jnp.zeros((tries, d_short, points.shape[1]), points.dtype)
 
-    per_table = []
-    for t in range(tries):
-        parts_i, parts_d = [], []
-        for lo in range(0, n, chunk):
-            m = min(chunk, n - lo)
+    # rows-outer, tries-inner, merging each row chunk immediately: holding
+    # all tables' (n, k) results and stacking/reshaping them costs ~3
+    # transient copies of (tries, n, k) x 8 bytes — ~10 GB at 10M x 10
+    # tries next to the corpus, the measured 10M OOM.  Per-chunk state is
+    # (chunk, tries*k); only the merged (n, k) graph accumulates.
+    g1_parts, gd1_parts = [], []
+    for lo in range(0, n, chunk):
+        m = min(chunk, n - lo)
+        per_t = []
+        for t in range(tries):
             ids_k, d_k = _probe_chunk(
                 points, tables[t],
                 jax.lax.dynamic_slice_in_dim(codes[t], lo, m),
@@ -276,17 +281,17 @@ def graph_stage_chunked(points, codes, counts, *, k, d_short, tmax, block_rows,
                 k=k, d_short=d_short, block_rows=block_rows,
                 n_probes=n_probes,
             )
-            parts_i.append(ids_k)
-            parts_d.append(d_k)
+            per_t.append((ids_k, d_k))
             if progress:
-                progress(f"table {t + 1}/{tries} rows {lo + m}/{n}")
-        per_table.append((jnp.concatenate(parts_i), jnp.concatenate(parts_d)))
-    tids = jnp.stack([p[0] for p in per_table])  # (tries, n, k)
-    tdists = jnp.stack([p[1] for p in per_table])
-
-    cand1 = jnp.moveaxis(tids, 0, 1).reshape(n, tries * k)
-    d1 = jnp.moveaxis(tdists, 0, 1).reshape(n, tries * k)
-    g1, gd1 = _merge_tables(cand1, d1, k=k, n=n)
+                progress(f"rows {lo}..{lo + m}/{n} table {t + 1}/{tries}")
+        # t-major per row, identical to moveaxis(stack(...), 0, 1).reshape
+        cand1 = jnp.concatenate([p[0] for p in per_t], axis=-1)
+        d1 = jnp.concatenate([p[1] for p in per_t], axis=-1)
+        gi, gd = _merge_tables(cand1, d1, k=k, n=n)
+        g1_parts.append(gi)
+        gd1_parts.append(gd)
+    g1 = jnp.concatenate(g1_parts)
+    gd1 = jnp.concatenate(gd1_parts)
 
     parts_i, parts_d = [], []
     for lo in range(0, n, chunk):

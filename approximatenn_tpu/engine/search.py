@@ -117,6 +117,7 @@ def search_packed_impl(pi: PackedIndex, points, queries, block_rows: int,
     """
     n, k, d_short, tries = pi.n, pi.k, pi.d_short, pi.tries
     w, d = pi.super_width, pi.d
+    dp = pi.lane_dim  # stored lane dim (d zero-padded to a 128 multiple)
     nrows = pi.n_rows
     n_pad = nrows * w
     rpp = pi.rows_per_probe()
@@ -148,8 +149,11 @@ def search_packed_impl(pi: PackedIndex, points, queries, block_rows: int,
         start = pi.starts[table_idx, probes]  # (B, tries, P)
         rows = jnp.minimum(start[..., None] // w + step, nrows - 1)
         flat = (rows + row_off).reshape(B, -1)  # (B, tries*P*rpp)
-        pc = pi.point_rows[flat].reshape(B, tries, -1, d)  # (B, T, Lt, d)
-        diff = qb.astype(cdtype)[:, None, None, :] - pc
+        pc = pi.point_rows[flat].reshape(B, tries, -1, dp)  # (B, T, Lt, dp)
+        qbp = qb.astype(cdtype)
+        if dp != d:  # zero pad lanes contribute 0 to the distance
+            qbp = jnp.pad(qbp, [(0, 0), (0, dp - d)])
+        diff = qbp[:, None, None, :] - pc
         dd = jnp.sum(diff * diff, axis=-1).astype(dtype)  # (B, T, Lt)
         # within-table positional slot of every candidate (no gather);
         # slots >= n are the packed tail padding (pack_table places all n
@@ -221,9 +225,11 @@ def search_packed_fused_impl(pi: PackedIndex, points, queries,
     start = pi.starts[table_idx, probes]  # (m, tries, P)
     start = jnp.minimum(start, n_pad - window)
 
-    pts_flat = pi.point_rows.reshape(tries * n_pad, d)
+    dp = pi.lane_dim
+    pts_flat = pi.point_rows.reshape(tries * n_pad, dp)
+    qp = q if dp == d else jnp.pad(q, [(0, 0), (0, dp - d)])
     pos, dd = probe_topk_pallas(
-        pts_flat, q, start, k=k, n=n, n_pad=n_pad, window=window,
+        pts_flat, qp, start, k=k, n=n, n_pad=n_pad, window=window,
         query_block=query_block, interpret=interpret,
     )  # (m, tries, k) within-table slots + dists
 

@@ -35,6 +35,14 @@ import jax.numpy as jnp
 # practical bound is corpus-fits-in-HBM, ~8M x 128 f32 per 16 GB chip).
 EXACT_MAX_N_DEFAULT = 8_000_000
 
+# At and above this many queries per call, packed serving routes through
+# the fused probe-window Pallas kernel on TPU: measured at 1M (BASELINE.md
+# round-2 A/B) the fused path wins 1.6-2.6x at batch=1000 but loses to
+# search_packed at batch=100 (fixed grid-step costs ~tens of us x tries x
+# query-blocks dominate small batches).  The crossover sits between; 512
+# keeps both measured points on their winning side.
+FUSED_MIN_BATCH = 512
+
 
 @dataclass
 class Server:
@@ -111,6 +119,23 @@ class Server:
             return exact_search(self.points, queries, k, **kw)
         kw.setdefault("n_probes", self.n_probes)
         if self.packed is not None:
+            queries = jnp.asarray(queries)
+            # route by batch size (measured crossover, see FUSED_MIN_BATCH)
+            # unless a path-specific kwarg pins the path explicitly
+            fused_only = {"window", "query_block", "interpret"} & kw.keys()
+            xla_only = {"budget_bytes", "block_rows"} & kw.keys()
+            on_tpu = all(
+                dev.platform != "cpu"
+                for dev in self.packed.point_rows.devices()
+            )
+            use_fused = fused_only or (
+                on_tpu and not xla_only
+                and queries.shape[0] >= FUSED_MIN_BATCH
+            )
+            if use_fused:
+                from .search import search_packed_fused
+
+                return search_packed_fused(self.packed, queries=queries, **kw)
             from .search import search_packed
 
             return search_packed(self.packed, queries=queries, **kw)

@@ -27,7 +27,8 @@ import numpy as np
 
 def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto",
                n_probes=None, packed=False, window=None, super_width=16,
-               packed_dtype=None, supercharge_rounds=1, rerank_width=None):
+               packed_dtype=None, supercharge_rounds=1, rerank_width=None,
+               fused=False):
     import jax.numpy as jnp
 
     # device->host scalar read of the LAST output: the only reliable
@@ -68,7 +69,12 @@ def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto",
             window=window, super_width=super_width, dtype=pdt,
         )
         drain([(pview.point_rows,)])
-        do_search = lambda: ann.search_packed(pview, pts, Yd, **skw)  # noqa: E731
+        if fused:
+            do_search = lambda: ann.search_packed_fused(  # noqa: E731
+                pview, pts, Yd, window=window, **skw
+            )
+        else:
+            do_search = lambda: ann.search_packed(pview, pts, Yd, **skw)  # noqa: E731
         index_mb = pview.memory_bytes() / 2**20
     else:
         do_search = lambda: ann.search(index, pts, Yd, **skw)  # noqa: E731
@@ -110,7 +116,7 @@ def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto",
         "qps": round(qps, 1),
         "latency_s": round(float(np.median(lat)), 6),
         "index_mb": round(index_mb, 1),
-        "layout": "packed" if packed else "table",
+        "layout": ("packed-fused" if fused else "packed") if packed else "table",
         # packed serving always runs exactly 1 supercharge round (the
         # search_packed pipeline has no knob); report what actually ran
         "supercharge_rounds": 1 if packed else supercharge_rounds,
@@ -145,6 +151,9 @@ def main(argv=None) -> int:
                         "reference's blind Hamming-1 set, d_short+1 probes)")
     p.add_argument("--packed", action="store_true",
                    help="serve through the packed bucket-CSR wide-row view")
+    p.add_argument("--fused", action="store_true",
+                   help="with --packed: serve through the fused probe-window "
+                        "Pallas kernel (search_packed_fused; TPU only)")
     p.add_argument("--window", type=int, default=None,
                    help="packed per-probe read depth in points (default tmax)")
     p.add_argument("--super-width", type=int, default=16,
@@ -162,6 +171,8 @@ def main(argv=None) -> int:
                 "--supercharge-rounds applies to the table layout only")
     if args.packed and args.rerank_width is not None:
         p.error("--rerank-width applies to the table layout only")
+    if args.fused and not args.packed:
+        p.error("--fused requires --packed (it serves the packed view)")
     cap = {"auto": "auto", "exact": None}.get(args.capacity, args.capacity)
     if isinstance(cap, str) and cap not in ("auto",):
         cap = int(cap)
@@ -186,7 +197,7 @@ def main(argv=None) -> int:
                          super_width=args.super_width,
                          packed_dtype=args.packed_dtype,
                          supercharge_rounds=args.supercharge_rounds,
-                         rerank_width=args.rerank_width)
+                         rerank_width=args.rerank_width, fused=args.fused)
         print(json.dumps(rec), flush=True)
     return 0
 

@@ -35,18 +35,23 @@ import numpy as np
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("dtype", "out_rows"))
-def _packed_rows(points, ids, dtype, out_rows):
-    """Gather packed point rows: (tries, n_pad) ids -> (out_rows, w*d).
+@partial(jax.jit, static_argnames=("dtype", "out_rows", "d_pad"))
+def _packed_rows(points, ids, dtype, out_rows, d_pad):
+    """Gather packed point rows: (tries, n_pad) ids -> (out_rows, w*d_pad).
 
     Every sentinel slot (id >= n: CSR padding and tombstoned points) gets a
     +inf vector, the global sentinel invariant — its distance is +inf to
-    any finite query regardless of how downstream masks.  Fused under jit
-    so gather, mask, and reshape share one output allocation.
+    any finite query regardless of how downstream masks.  The vector lane
+    dim is zero-padded to ``d_pad`` (a 128 multiple: Mosaic requires HBM
+    DMA slices 128-aligned in the lane dim, and zero pad lanes add zero to
+    distances against zero-padded queries).  Fused under jit so gather,
+    pad, mask, and reshape share one output allocation.
     """
-    n = points.shape[0]
+    n, d = points.shape
     safe = jnp.where(ids < n, ids, 0)
     pts = points.astype(dtype)[safe]  # (tries, n_pad, d)
+    if d_pad != d:
+        pts = jnp.pad(pts, [(0, 0), (0, 0), (0, d_pad - d)])
     pts = jnp.where((ids >= n)[..., None], jnp.asarray(jnp.inf, dtype), pts)
     return pts.reshape(out_rows, -1)
 
@@ -294,7 +299,8 @@ class ANNIndex:
         # ONE output buffer; dispatched eagerly each op materializes the
         # full (tries, n_pad, d) intermediate (5+ GB at 1M x 128 x 10
         # tries) and the reshape copy OOMs next to the padded tables
-        rows = _packed_rows(points, ids, dtype, self.tries * n_rows)
+        d_pad = -(-d // 128) * 128
+        rows = _packed_rows(points, ids, dtype, self.tries * n_rows, d_pad)
         return PackedIndex(
             row_means=self.row_means,
             bases=self.bases,
@@ -305,7 +311,7 @@ class ANNIndex:
             points=points if store_points else None,
             n=n, k=self.k, d=d, d_short=self.d_short,
             tries=self.tries, window=window, super_width=w,
-            metric=self.metric,
+            metric=self.metric, d_pad=d_pad,
         )
 
     def with_depth(self, depth: int) -> "ANNIndex":
@@ -400,6 +406,15 @@ class PackedIndex:
     window: int = dataclasses.field(metadata=dict(static=True))
     super_width: int = dataclasses.field(metadata=dict(static=True))
     metric: str = dataclasses.field(default="l2", metadata=dict(static=True))
+    # stored vector lane dim: d zero-padded to a 128 multiple (Mosaic
+    # requires HBM DMA lane slices 128-aligned; zero pad lanes are
+    # distance-neutral against zero-padded queries).  0 = legacy views
+    # packed before lane padding existed (lane dim == d).
+    d_pad: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @property
+    def lane_dim(self) -> int:
+        return self.d_pad or self.d
 
     @property
     def n_buckets(self) -> int:

@@ -144,6 +144,12 @@ def probe_topk_pallas(
             "ANNIndex.packed(); its slot count is lcm(super_width, 8)-"
             "rounded precisely so per-table HBM offsets stay DMA-alignable)"
         )
+    if d % 128 and not interpret:
+        raise ValueError(
+            f"lane dim {d} must be a 128 multiple for HBM window DMAs "
+            "(Mosaic tiling); repack with ANNIndex.packed(), which zero-"
+            "pads the stored lane dim, and pass zero-padded queries"
+        )
     window = min(-(-(window + 7) // 8) * 8, n_pad)
     starts = jnp.clip(starts // 8, 0, (n_pad - window) // 8)
     bq = min(query_block, m)

@@ -105,7 +105,8 @@ def test_packed_sentinel_and_shapes(built):
     X, Y, index, _ = built
     pi = index.packed(X, window=4, super_width=8)
     assert pi.super_width == 8
-    assert pi.point_rows.shape[1] == 8 * pi.d
+    assert pi.point_rows.shape[1] == 8 * pi.lane_dim
+    assert pi.lane_dim % 128 == 0 and pi.lane_dim >= pi.d
     ids_p, dists_p = ann.search_packed(pi, X, Y)
     ids_np = np.asarray(ids_p)
     assert ids_np.max() <= index.n

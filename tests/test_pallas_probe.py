@@ -28,8 +28,9 @@ def _oracle_positions(pv, queries, starts, window, k):
     """Same candidate semantics as the kernel, via plain jnp gathers."""
     n, tries = pv.n, pv.tries
     n_pad = pv.n_rows * pv.super_width
-    d = pv.d
+    d = pv.lane_dim  # zero/inf pad lanes are distance-neutral vs 0-pad queries
     pts = pv.point_rows.reshape(tries, n_pad, d)
+    queries = jnp.pad(queries, [(0, 0), (0, d - queries.shape[1])])
     m, _, P = starts.shape
     win_ix = starts[..., None] + jnp.arange(window)  # (m, tries, P, window)
     out_p, out_d = [], []
@@ -60,9 +61,10 @@ def test_kernel_matches_oracle(setup):
     table_idx = jnp.arange(pv.tries, dtype=jnp.int32)[None, :, None]
     starts = jnp.minimum(pv.starts[table_idx, probes], n_pad - window)
 
-    pts_flat = pv.point_rows.reshape(pv.tries * n_pad, pv.d)
+    pts_flat = pv.point_rows.reshape(pv.tries * n_pad, pv.lane_dim)
+    Yp = jnp.pad(Y, [(0, 0), (0, pv.lane_dim - pv.d)])
     pos, dd = probe_topk_pallas(
-        pts_flat, Y, starts, k=pv.k, n=pv.n, n_pad=n_pad, window=window,
+        pts_flat, Yp, starts, k=pv.k, n=pv.n, n_pad=n_pad, window=window,
         query_block=16, interpret=True,
     )
     # the kernel widens each window to its 8-aligned superset (HBM DMA

@@ -51,6 +51,22 @@ def test_hash_packed_layout(data):
     assert hits / (32 * 5) > 0.5
 
 
+def test_packed_routing_fused_kwargs(data):
+    """Fused-only kwargs pin the fused path (interpret mode exercises the
+    identical kernel on CPU); plain calls on CPU stay on search_packed."""
+    X, Y = data
+    srv = Server.build(X, k=5, mode="hash", layout="packed", tries=4, seed=2)
+    ids_x, _ = srv.search(Y)  # CPU -> search_packed
+    ids_f, _ = srv.search(Y, interpret=True)  # fused kw -> fused kernel
+    ti, _ = ann.brute_force_knn(X, Y, 5)
+    for ids in (ids_x, ids_f):
+        hits = sum(
+            len(set(a.tolist()) & set(b.tolist()))
+            for a, b in zip(np.asarray(ids), np.asarray(ti))
+        )
+        assert hits / (32 * 5) > 0.5
+
+
 def test_exact_angular(data):
     X, Y = data
     srv = Server.build(X, k=5, mode="exact", metric="angular")
