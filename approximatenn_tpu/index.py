@@ -35,6 +35,18 @@ import numpy as np
 from functools import partial
 
 
+@jax.jit
+def _codes_chunk(points_chunk, row_means, bases):
+    """Hash codes for a row chunk: center, project, pack signs — one jit
+    so the centered copy and projection stay chunk-sized transients."""
+    from .ops.hash import pack_signs
+
+    tries, d_short, d = bases.shape
+    centered = points_chunk.astype(bases.dtype) - row_means
+    proj = centered @ bases.reshape(tries * d_short, d).T
+    return pack_signs(proj.reshape(points_chunk.shape[0], tries, d_short))
+
+
 @partial(jax.jit, static_argnames=("dtype", "out_rows", "d_pad"))
 def _packed_rows(points, ids, dtype, out_rows, d_pad):
     """Gather packed point rows: (tries, n_pad) ids -> (out_rows, w*d_pad).
@@ -275,15 +287,18 @@ class ANNIndex:
         from .ops.buckets import pack_tables
 
         # codes are recomputed from the stored bases (cheap: one matmul);
-        # avoids persisting build-time codes on the index
-        from .ops.hash import pack_signs
-
+        # avoids persisting build-time codes on the index.  Chunked over
+        # rows: eagerly the centered copy (n x d) + projection (n x
+        # tries*d_short) each materialize — 6+ GB at 10M next to the
+        # corpus (the measured 10M pack OOM); per-chunk transients are
+        # ~1/10th and the codes output is tiny (n x tries int32)
         if self.d_short:
-            centered = points.astype(self.bases.dtype) - self.row_means
-            proj = centered @ self.bases.reshape(
-                self.tries * self.d_short, d
-            ).T
-            codes = pack_signs(proj.reshape(n, self.tries, self.d_short))
+            chunk = 1 << 20
+            codes = jnp.concatenate([
+                _codes_chunk(points[lo: lo + chunk], self.row_means,
+                             self.bases)
+                for lo in range(0, n, chunk)
+            ])
         else:
             codes = jnp.zeros((n, self.tries), jnp.int32)
         order, starts = pack_tables(codes.T, self.n_buckets)
