@@ -47,25 +47,30 @@ def _codes_chunk(points_chunk, row_means, bases):
     return pack_signs(proj.reshape(points_chunk.shape[0], tries, d_short))
 
 
-@partial(jax.jit, static_argnames=("dtype", "out_rows", "d_pad"))
-def _packed_rows(points, ids, dtype, out_rows, d_pad):
-    """Gather packed point rows: (tries, n_pad) ids -> (out_rows, w*d_pad).
-
-    Every sentinel slot (id >= n: CSR padding and tombstoned points) gets a
-    +inf vector, the global sentinel invariant — its distance is +inf to
-    any finite query regardless of how downstream masks.  The vector lane
-    dim is zero-padded to ``d_pad`` (a 128 multiple: Mosaic requires HBM
-    DMA slices 128-aligned in the lane dim, and zero pad lanes add zero to
-    distances against zero-padded queries).  Fused under jit so gather,
-    pad, mask, and reshape share one output allocation.
-    """
+@partial(jax.jit, static_argnames=("dtype", "d_pad"))
+def _storage_points(points, dtype, d_pad):
+    """(n, d) -> (n + 1, d_pad) storage-dtype copy of the corpus: lanes
+    zero-padded to ``d_pad`` (a 128 multiple — Mosaic requires HBM DMA
+    slices 128-aligned in the lane dim; zero pad lanes add zero to
+    distances against zero-padded queries), plus a +inf sentinel row at
+    index n.  Sentinel slots (CSR padding, tombstones — both carry id n)
+    then *gather* their +inf vector directly, upholding the global
+    sentinel invariant with no post-gather select (a select materializes
+    a second full-size packed copy — the measured 10M pack OOM)."""
     n, d = points.shape
-    safe = jnp.where(ids < n, ids, 0)
-    pts = points.astype(dtype)[safe]  # (tries, n_pad, d)
+    pts = points.astype(dtype)
     if d_pad != d:
-        pts = jnp.pad(pts, [(0, 0), (0, 0), (0, d_pad - d)])
-    pts = jnp.where((ids >= n)[..., None], jnp.asarray(jnp.inf, dtype), pts)
-    return pts.reshape(out_rows, -1)
+        pts = jnp.pad(pts, [(0, 0), (0, d_pad - d)])
+    return jnp.concatenate([pts, jnp.full((1, d_pad), jnp.inf, dtype)])
+
+
+@partial(jax.jit, static_argnames=("out_rows",))
+def _packed_rows(pts_s, ids, out_rows):
+    """Gather packed rows: (tries, n_pad) slot ids -> (out_rows, w*d_pad).
+    One gather, one output buffer (the reshape merges contiguous dims);
+    peak HBM = storage corpus + packed buffer, nothing else."""
+    n = pts_s.shape[0] - 1
+    return pts_s[jnp.minimum(ids, n)].reshape(out_rows, -1)
 
 
 @jax.tree_util.register_dataclass
@@ -310,12 +315,10 @@ class ANNIndex:
             # +inf vector makes their distance +inf in the diff^2 pass
             is_dead = self.dead[jnp.clip(ids, 0, n)]
             ids = jnp.where(is_dead, n, ids)
-        # jit the gather -> sentinel-mask -> reshape so XLA fuses them into
-        # ONE output buffer; dispatched eagerly each op materializes the
-        # full (tries, n_pad, d) intermediate (5+ GB at 1M x 128 x 10
-        # tries) and the reshape copy OOMs next to the padded tables
         d_pad = -(-d // 128) * 128
-        rows = _packed_rows(points, ids, dtype, self.tries * n_rows, d_pad)
+        pts_s = _storage_points(points, dtype, d_pad)
+        rows = _packed_rows(pts_s, ids, self.tries * n_rows)
+        del pts_s  # free the (n+1, d_pad) staging copy before returning
         return PackedIndex(
             row_means=self.row_means,
             bases=self.bases,

@@ -64,9 +64,10 @@ def main():
     print(json.dumps({"stage": "gt done", "n": n, "d": d}), flush=True)
 
     t0 = time.perf_counter()
-    index, graph, _ = ann.build(X, k, tries=args.tries, seed=7, capacity=cap,
-                                n_probes=args.n_probes)
+    index, graph, gd = ann.build(X, k, tries=args.tries, seed=7, capacity=cap,
+                                 n_probes=args.n_probes)
     fence([graph])
+    del gd, graph  # free gdists (n x k f32, 0.4 GB at 10M); graph lives on index
     print(json.dumps({"stage": "build", "s": round(time.perf_counter() - t0, 1),
                       "tmax": index.tmax, "graph_mode": "auto"}), flush=True)
     pv = index.packed(X, super_width=args.super_width, dtype=pdt,
