@@ -47,6 +47,18 @@ def _codes_chunk(points_chunk, row_means, bases):
     return pack_signs(proj.reshape(points_chunk.shape[0], tries, d_short))
 
 
+def stage_points(points, dtype=None) -> jax.Array:
+    """Stage a corpus for :meth:`ANNIndex.packed(..., staged=True)`:
+    (n, d) -> (n + 1, d_pad) in ``dtype`` (default: the corpus dtype),
+    lane-padded to a 128 multiple with a +inf sentinel row at index n.
+    Use when the raw corpus and the packed buffer cannot coexist in HBM:
+    stage, free the raw corpus, then pack."""
+    points = jnp.asarray(points)
+    d = points.shape[1]
+    dtype = jnp.dtype(points.dtype if dtype is None else dtype)
+    return _storage_points(points, dtype, -(-d // 128) * 128)
+
+
 @partial(jax.jit, static_argnames=("dtype", "d_pad"))
 def _storage_points(points, dtype, d_pad):
     """(n, d) -> (n + 1, d_pad) storage-dtype copy of the corpus: lanes
@@ -238,6 +250,7 @@ class ANNIndex:
         super_width: int = 2,
         dtype=None,
         store_points: bool = True,
+        staged: bool = False,
     ) -> "PackedIndex":
         """Build the packed serving view — the high-throughput query layout.
 
@@ -266,6 +279,14 @@ class ANNIndex:
         ``points``: the build-time point matrix (or None to use stored).
         ``store_points`` keeps the raw points on the view for supercharge +
         serving convenience.
+        ``staged``: ``points`` is already a staging buffer from
+        :func:`stage_points` — (n + 1, d_pad) in the storage dtype with a
+        +inf sentinel row.  At 10M the f32 corpus (3.8 GB) cannot coexist
+        with the packed buffer on one chip: stage first, free the f32
+        corpus, then pack.  Hash codes are then recomputed from the
+        storage-dtype values (sign flips on near-zero projections are
+        possible but self-consistent — the CSR starts match the packed
+        order, and query-side codes come from the query pipeline).
         """
         if points is None:
             points = self.points
@@ -279,8 +300,13 @@ class ANNIndex:
             window = self.tmax
         window = max(1, int(window))
         w = max(1, int(super_width))
-        dtype = jnp.dtype(points.dtype if dtype is None else dtype)
-        n, d = points.shape
+        d = int(self.bases.shape[2]) if staged else points.shape[1]
+        if staged:
+            dtype = points.dtype
+            n = points.shape[0] - 1
+        else:
+            dtype = jnp.dtype(points.dtype if dtype is None else dtype)
+            n = points.shape[0]
         # ceil over n+1 (slot for sentinel id n), then round the per-table
         # slot count up so n_pad % 8 == 0: HBM memrefs are (8,128)-tiled
         # on TPU, and the fused probe kernel's window DMAs must start at
@@ -300,8 +326,8 @@ class ANNIndex:
         if self.d_short:
             chunk = 1 << 20
             codes = jnp.concatenate([
-                _codes_chunk(points[lo: lo + chunk], self.row_means,
-                             self.bases)
+                _codes_chunk(points[lo: min(lo + chunk, n), :d],
+                             self.row_means, self.bases)
                 for lo in range(0, n, chunk)
             ])
         else:
@@ -316,7 +342,7 @@ class ANNIndex:
             is_dead = self.dead[jnp.clip(ids, 0, n)]
             ids = jnp.where(is_dead, n, ids)
         d_pad = -(-d // 128) * 128
-        pts_s = _storage_points(points, dtype, d_pad)
+        pts_s = points if staged else _storage_points(points, dtype, d_pad)
         rows = _packed_rows(pts_s, ids, self.tries * n_rows)
         del pts_s  # free the (n+1, d_pad) staging copy before returning
         return PackedIndex(
@@ -326,7 +352,7 @@ class ANNIndex:
             ids=ids,
             starts=starts,
             graph=self.graph,
-            points=points if store_points else None,
+            points=points if store_points and not staged else None,
             n=n, k=self.k, d=d, d_short=self.d_short,
             tries=self.tries, window=window, super_width=w,
             metric=self.metric, d_pad=d_pad,

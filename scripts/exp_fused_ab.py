@@ -31,10 +31,15 @@ def main():
     ap.add_argument("--capacity", default="auto")
     ap.add_argument("--packed-dtype", default=None, choices=[None, "f32", "bf16"])
     ap.add_argument("--super-width", type=int, default=2)
-    ap.add_argument("--query-block", type=int, default=16)
+    ap.add_argument("--query-block", type=int, nargs="+", default=[16])
     ap.add_argument("--batches", type=int, nargs="+", default=[1000, 100])
     ap.add_argument("--windows", type=int, nargs="+", default=[32, 64, 96])
     ap.add_argument("--n-probes", type=int, default=18)
+    ap.add_argument("--free-corpus", action="store_true",
+                    help="stage the corpus to the packed dtype and free the "
+                         "f32 copy before packing (10M: f32 corpus + packed "
+                         "buffer exceed HBM together); searches + the exact "
+                         "bench then run on the staged-dtype corpus")
     args = ap.parse_args()
 
     import os
@@ -70,8 +75,25 @@ def main():
     del gd, graph  # free gdists (n x k f32, 0.4 GB at 10M); graph lives on index
     print(json.dumps({"stage": "build", "s": round(time.perf_counter() - t0, 1),
                       "tmax": index.tmax, "graph_mode": "auto"}), flush=True)
-    pv = index.packed(X, super_width=args.super_width, dtype=pdt,
-                      store_points=False)
+    if args.free_corpus:
+        from approximatenn_tpu.index import stage_points
+
+        # f32 corpus + packed buffer exceed HBM together at 10M: stage to
+        # the storage dtype, free the f32 corpus, pack from the staging
+        # buffer, then re-synthesize the (deterministic) corpus for the
+        # search benches
+        Xs = stage_points(X, pdt)
+        fence([Xs])
+        del X
+        pv = index.packed(Xs, super_width=args.super_width, staged=True,
+                          store_points=False)
+        fence([pv.point_rows])
+        del Xs
+        X, _ = synth_clustered(n, d, args.nq)
+        fence([X])
+    else:
+        pv = index.packed(X, super_width=args.super_width, dtype=pdt,
+                          store_points=False)
     fence([pv.point_rows])
     print(json.dumps({"stage": "packed",
                       "packed_gb": round(pv.memory_bytes() / 2**30, 2)}),
@@ -105,10 +127,11 @@ def main():
             bench(f"packed-xla w={w} P={P}",
                   lambda w=w: ann.search_packed(pv.with_window(w), X, Yb,
                                                 n_probes=P), batch)
-            bench(f"FUSED w={w} P={P} bq={args.query_block}",
-                  lambda w=w: ann.search_packed_fused(
-                      pv, X, Yb, n_probes=P, window=w,
-                      query_block=args.query_block), batch)
+            for bq in args.query_block:
+                bench(f"FUSED w={w} P={P} bq={bq}",
+                      lambda w=w, bq=bq: ann.search_packed_fused(
+                          pv, X, Yb, n_probes=P, window=w,
+                          query_block=bq), batch)
         bench("exact (Pallas)", lambda: ann.exact_search(X, Yb, k), batch)
 
 

@@ -91,6 +91,24 @@ def test_packed_directed_probes(built):
     assert _recall(ids_d, true_ids) >= _recall(ids_b, true_ids) - 0.02
 
 
+def test_packed_staged_equals_direct(built):
+    """packed(staged=True) from a stage_points buffer == packed(points)
+    when the staging dtype matches (same codes -> same CSR -> same rows)."""
+    from approximatenn_tpu.index import stage_points
+
+    X, Y, index, true_ids = built
+    direct = index.packed(X, store_points=False)
+    staged = index.packed(stage_points(X), staged=True, store_points=False)
+    assert staged.d == direct.d and staged.lane_dim == direct.lane_dim
+    np.testing.assert_array_equal(np.asarray(staged.ids), np.asarray(direct.ids))
+    np.testing.assert_array_equal(
+        np.asarray(staged.point_rows), np.asarray(direct.point_rows)
+    )
+    ids_s, _ = ann.search_packed(staged, X, Y)
+    ids_d, _ = ann.search_packed(direct, X, Y)
+    np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_d))
+
+
 def test_packed_bf16_storage(built):
     X, Y, index, true_ids = built
     pi = index.packed(X, dtype=jnp.bfloat16)
