@@ -252,6 +252,22 @@ _search_packed_fused_jit = partial(
 )(search_packed_fused_impl)
 
 
+def _as_corpus(points, dtype):
+    """Corpus array for the candidate-distance gathers.
+
+    A low-precision float corpus (bf16/f16) is kept as stored: the
+    distance passes gather small candidate blocks and upcast them via type
+    promotion (f32 query - bf16 candidates -> f32 math), so the corpus
+    never materializes at full width.  At 10M x 96 that is the difference
+    between a 1.92 GB and a 3.84 GB resident corpus next to the 7.7 GB
+    packed buffer (the 10M HBM budget, BASELINE.md).  Everything else is
+    cast to the index dtype as before."""
+    points = jnp.asarray(points)
+    if points.dtype in (jnp.bfloat16, jnp.float16):
+        return points
+    return points.astype(dtype)
+
+
 def search_packed_fused(
     pindex: PackedIndex,
     points=None,
@@ -282,7 +298,7 @@ def search_packed_fused(
         queries = prepare_points(
             jnp.asarray(queries, pindex.bases.dtype), pindex.metric
         )
-    points = jnp.asarray(points, pindex.bases.dtype)
+    points = _as_corpus(points, pindex.bases.dtype)
     queries = jnp.asarray(queries, pindex.bases.dtype)
     return _search_packed_fused_jit(
         pindex, points, queries, n_probes=n_probes, window=window,
@@ -330,7 +346,7 @@ def search_packed(
             m, ltot, pindex.d, jnp.dtype(pindex.bases.dtype).itemsize,
             budget_bytes,
         )
-    points = jnp.asarray(points, pindex.bases.dtype)
+    points = _as_corpus(points, pindex.bases.dtype)
     queries = jnp.asarray(queries, pindex.bases.dtype)
     return _search_packed_jit(pindex, points, queries, block_rows=block_rows,
                               n_probes=n_probes)
@@ -393,7 +409,7 @@ def search(
         block_rows = pick_block(
             m, ltot, index.d, jnp.dtype(index.bases.dtype).itemsize, budget_bytes
         )
-    points = jnp.asarray(points, index.bases.dtype)
+    points = _as_corpus(points, index.bases.dtype)
     queries = jnp.asarray(queries, index.bases.dtype)
     return _search_jit(index, points, queries, block_rows=block_rows,
                        n_probes=n_probes,

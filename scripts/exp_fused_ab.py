@@ -88,15 +88,19 @@ def main():
         pv = index.packed(Xs, super_width=args.super_width, staged=True,
                           store_points=False)
         fence([pv.point_rows])
-        del Xs
-        X, _ = synth_clustered(n, d, args.nq)
+        # serve from the storage-dtype corpus: the search wrappers keep a
+        # bf16 corpus as stored (supercharge gathers upcast per-block), so
+        # the f32 copy never has to coexist with the packed buffer
+        X = Xs[:n, :d]
         fence([X])
+        del Xs
     else:
         pv = index.packed(X, super_width=args.super_width, dtype=pdt,
                           store_points=False)
     fence([pv.point_rows])
     print(json.dumps({"stage": "packed",
-                      "packed_gb": round(pv.memory_bytes() / 2**30, 2)}),
+                      "packed_gb": round(pv.memory_bytes() / 2**30, 2),
+                      "index_mb": round(index.memory_bytes() / 2**20, 1)}),
           flush=True)
 
     def bench(label, fn, batch, reps=5):
@@ -132,7 +136,11 @@ def main():
                       lambda w=w, bq=bq: ann.search_packed_fused(
                           pv, X, Yb, n_probes=P, window=w,
                           query_block=bq), batch)
-        bench("exact (Pallas)", lambda: ann.exact_search(X, Yb, k), batch)
+        if not args.free_corpus:
+            # exact_search upcasts the corpus to f32 — skipped in the
+            # staged-bf16 regime (10M exact f32 is measured separately:
+            # BASELINE.md, 10,014 QPS)
+            bench("exact (Pallas)", lambda: ann.exact_search(X, Yb, k), batch)
 
 
 if __name__ == "__main__":

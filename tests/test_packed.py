@@ -119,6 +119,32 @@ def test_packed_bf16_storage(built):
     assert np.isfinite(np.asarray(dists_p[:, 0])).all()
 
 
+def test_packed_bf16_corpus_not_upcast(built):
+    """A bf16 corpus passed to the search wrappers is served as stored
+    (never upcast to a full f32 copy — the 10M HBM budget, BASELINE.md);
+    supercharge distance gathers upcast per-block via type promotion."""
+    X, Y, index, true_ids = built
+    Xb = X.astype(jnp.bfloat16)
+    pi = index.packed(Xb, store_points=False)
+    ids_b, dists_b = ann.search_packed(pi, Xb, Y)
+    ids_f, _ = ann.search_packed(pi, X, Y)
+    rb, rf = _recall(ids_b, true_ids), _recall(ids_f, true_ids)
+    assert rb >= rf - 0.02, (rb, rf)
+    # table path accepts a bf16 corpus too
+    ids_t, _ = ann.search(index, Xb, Y)
+    assert _recall(ids_t, true_ids) > 0.5
+    # distances remain f32 math over bf16-quantized vectors
+    assert dists_b.dtype == index.bases.dtype
+    sample, dd = np.asarray(ids_b[:4]), np.asarray(dists_b[:4])
+    Xq = np.asarray(Xb.astype(jnp.float32))
+    Yn = np.asarray(Y)
+    for r in range(4):
+        for c in range(ids_b.shape[1]):
+            if sample[r, c] < index.n:
+                ref = float(((Yn[r] - Xq[sample[r, c]]) ** 2).sum())
+                assert abs(ref - float(dd[r, c])) < 2e-2 * max(1.0, ref)
+
+
 def test_packed_sentinel_and_shapes(built):
     X, Y, index, _ = built
     pi = index.packed(X, window=4, super_width=8)
