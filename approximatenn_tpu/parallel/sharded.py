@@ -243,6 +243,152 @@ def search_sharded(
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedPacked:
+    """Per-shard packed (bucket-CSR) serving views, stacked on a leading
+    shard axis — the packed layout's scale-out form (single-chip rationale:
+    :meth:`~..index.ANNIndex.packed`).  ``point_rows`` stores each shard's
+    candidate vectors FLAT (one point per lane-aligned row, same layout as
+    the single-chip view); ``ids``/``starts`` are local CSR maps.  Local
+    slot ids map to global ids via ``shard * n_local`` offsets at merge."""
+
+    point_rows: Any  # (S, tries * n_pad_l, d_pad) storage dtype
+    ids: Any  # (S, tries, n_pad_l) local ids, sentinel n_local
+    starts: Any  # (S, tries, 2^d_short)
+    n_pad_l: int = dataclasses.field(metadata=dict(static=True))
+    d_pad: int = dataclasses.field(metadata=dict(static=True))
+    window: int = dataclasses.field(metadata=dict(static=True))
+    super_width: int = dataclasses.field(metadata=dict(static=True))
+
+    def memory_bytes(self) -> int:
+        return int(
+            self.point_rows.size
+            * np.dtype(self.point_rows.dtype).itemsize
+            + self.ids.size * 4 + self.starts.size * 4
+        )
+
+
+def packed_sharded(
+    sidx: ShardedIndex,
+    points,
+    *,
+    mesh: Mesh,
+    window: int | None = None,
+    super_width: int = 2,
+    dtype=None,
+) -> ShardedPacked:
+    """Build per-shard packed views from a sharded index: each shard packs
+    its local slice into bucket-CSR order (exactly n_local slots per table,
+    no capacity padding, no overflow drops) entirely shard-locally — no
+    collectives; the pack is embarrassingly parallel over the mesh."""
+    import math as _math
+
+    from ..ops.buckets import pack_tables
+
+    w = max(1, int(super_width))
+    n_local, d_short, tries = sidx.n_local, sidx.d_short, sidx.tries
+    lcm8 = _math.lcm(w, 8)
+    n_pad_l = -(-(n_local + 1) // lcm8) * lcm8
+    d = sidx.d
+    d_pad = -(-d // 128) * 128
+    dtype = jnp.dtype(sidx.bases.dtype if dtype is None else dtype)
+    points = _shard_points(points, mesh)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(AXIS, None), P(None, None, None), P(None)),
+        out_specs=(P(AXIS, None, None), P(AXIS, None, None),
+                   P(AXIS, None, None)),
+    )
+    def pack_l(pts_l, bases, row_means):
+        codes = hash_points(
+            pts_l.astype(bases.dtype) - row_means, bases
+        )  # (tries, n_local)
+        order, starts = pack_tables(codes, 1 << d_short)
+        pad = jnp.full((tries, n_pad_l - n_local), n_local, order.dtype)
+        ids = jnp.concatenate([order, pad], axis=1)  # (tries, n_pad_l)
+        pts_s = pts_l.astype(dtype)
+        if d_pad != d:
+            pts_s = jnp.pad(pts_s, [(0, 0), (0, d_pad - d)])
+        pts_s = jnp.concatenate(
+            [pts_s, jnp.full((1, d_pad), jnp.inf, dtype)]
+        )
+        rows = pts_s[jnp.minimum(ids.reshape(-1), n_local)]
+        return rows[None], ids[None], starts[None]
+
+    rows, ids, starts = pack_l(points, sidx.bases, sidx.row_means)
+    return ShardedPacked(
+        point_rows=rows, ids=ids, starts=starts, n_pad_l=n_pad_l,
+        d_pad=d_pad, window=int(window) if window else sidx.tmax,
+        super_width=w,
+    )
+
+
+def search_packed_sharded(
+    sidx: ShardedIndex,
+    spk: ShardedPacked,
+    points,
+    queries,
+    *,
+    mesh: Mesh,
+    budget_bytes: int = 128 << 20,
+    block_rows: int | None = None,
+    n_probes: int | None = None,
+):
+    """Distributed packed-layout query: replicate queries, per-shard
+    :func:`~..engine.search.search_packed_impl` over the local CSR view,
+    ``all_gather`` + merge — same collective pattern as
+    :func:`search_sharded`, with the packed candidate superset semantics
+    per shard."""
+    from ..engine.search import search_packed_impl
+    from ..index import PackedIndex
+
+    k, n_local, n = sidx.k, sidx.n_local, sidx.n
+    m = queries.shape[0]
+    rpp = min(-(-spk.window // spk.super_width) + 1,
+              spk.n_pad_l // spk.super_width)
+    if block_rows is None:
+        nprb = sidx.d_short + 1 if n_probes is None else n_probes
+        ltot = sidx.tries * nprb * rpp * spk.super_width
+        block_rows = pick_block(m, ltot, sidx.d, 4, budget_bytes)
+    points = _shard_points(points, mesh)
+    queries = _replicate(np.asarray(queries, sidx.bases.dtype), mesh)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(
+            P(AXIS, None), P(),
+            P(AXIS, None, None), P(AXIS, None, None), P(AXIS, None, None),
+            P(AXIS, None, None), P(None), P(None, None, None),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,  # outputs replicated via all_gather+identical
+    )
+    def go(pts_l, y, rows_l, ids_l, starts_l, graph_l, row_means, bases):
+        local = PackedIndex(
+            row_means=row_means, bases=bases, point_rows=rows_l[0],
+            ids=ids_l[0], starts=starts_l[0], graph=graph_l[0],
+            points=None, n=n_local, k=k, d=sidx.d, d_short=sidx.d_short,
+            tries=sidx.tries, window=spk.window,
+            super_width=spk.super_width, d_pad=spk.d_pad,
+        )
+        lids, dd = search_packed_impl(local, pts_l, y, block_rows, n_probes)
+        offset = jax.lax.axis_index(AXIS).astype(itype) * n_local
+        gids, dd = _to_global(lids, dd, n_local, n, offset)
+        all_ids = jnp.moveaxis(jax.lax.all_gather(gids, AXIS), 0, 1)
+        all_dd = jnp.moveaxis(jax.lax.all_gather(dd, AXIS), 0, 1)
+        s = all_ids.shape[1]
+        return topk_no_dedup(
+            all_dd.reshape(m, s * k), all_ids.reshape(m, s * k), k
+        )
+
+    return go(
+        points, queries, spk.point_rows, spk.ids, spk.starts,
+        sidx.graph, sidx.row_means, sidx.bases,
+    )
+
+
 def search_exact_sharded(points, queries, k: int, *, mesh: Mesh, block: int = 1024):
     """Distributed exact kNN: per-shard exact search + all_gather merge.
     Equals global brute force exactly (each shard's local top-k contains

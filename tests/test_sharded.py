@@ -94,6 +94,38 @@ class TestShardedSearch:
         assert not any(i in gg[i] for i in range(len(gg)))
         assert recall_at_k(np.asarray(tg), gg, 10) > 0.7
 
+    def test_packed_sharded(self, sidx, data, mesh8):
+        """Per-shard packed CSR views: recall not worse than the sharded
+        table path (superset candidates per shard), global ids, true
+        distances, bf16 storage accepted."""
+        from approximatenn_tpu.parallel.sharded import (
+            packed_sharded,
+            search_packed_sharded,
+        )
+
+        X, Y = data
+        spk = packed_sharded(sidx, X, mesh=mesh8)
+        assert spk.point_rows.shape == (
+            sidx.n_shards, sidx.tries * spk.n_pad_l, spk.d_pad
+        )
+        ids, dists = search_packed_sharded(sidx, spk, X, Y, mesh=mesh8)
+        ids_t, _ = search_sharded(sidx, X, Y, mesh=mesh8)
+        tq, _ = ann.brute_force_knn(jnp.asarray(X), jnp.asarray(Y), 10)
+        rec_p = recall_at_k(np.asarray(tq), np.asarray(ids), 10)
+        rec_t = recall_at_k(np.asarray(tq), np.asarray(ids_t), 10)
+        assert rec_p >= rec_t - 0.02, (rec_p, rec_t)
+        ids, dists = np.asarray(ids), np.asarray(dists)
+        assert (ids >= 0).all() and (ids <= sidx.n).all()
+        for j in range(10):
+            want = ((Y[3] - X[ids[3, j]]) ** 2).sum()
+            np.testing.assert_allclose(dists[3, j], want, rtol=1e-4)
+        # bf16 storage halves the packed bytes and still serves
+        spk_b = packed_sharded(sidx, X, mesh=mesh8, dtype=jnp.bfloat16)
+        assert spk_b.point_rows.dtype == jnp.bfloat16
+        ids_b, _ = search_packed_sharded(sidx, spk_b, X, Y, mesh=mesh8)
+        rec_b = recall_at_k(np.asarray(tq), np.asarray(ids_b), 10)
+        assert rec_b >= rec_p - 0.05, (rec_b, rec_p)
+
     def test_mesh_size_one_matches_spirit(self, data):
         """A 1-device mesh must work (degenerate distribution)."""
         X, Y = data
