@@ -135,7 +135,7 @@ def search_packed_impl(pi: PackedIndex, points, queries, block_rows: int,
         codes = jnp.zeros((m, tries), itype)
 
     table_idx = jnp.arange(tries, dtype=itype)[None, :, None]
-    row_off = (jnp.arange(tries, dtype=itype) * nrows)[None, :, None, None]
+    slot_off = (jnp.arange(tries, dtype=itype) * n_pad)[None, :, None]
     step = jnp.arange(rpp, dtype=itype)
     ids_flat = pi.ids.reshape(-1)  # (tries * n_pad,)
     lane = jnp.arange(w, dtype=itype)
@@ -147,18 +147,20 @@ def search_packed_impl(pi: PackedIndex, points, queries, block_rows: int,
         else:
             probes = probe_codes_directed(cb, pb, n_probes)
         start = pi.starts[table_idx, probes]  # (B, tries, P)
+        # aligned super-row window covering [start, start+window), then
+        # the w slot rows inside each super-row (storage is flat — one
+        # point per row; the grouping is purely index arithmetic)
         rows = jnp.minimum(start[..., None] // w + step, nrows - 1)
-        flat = (rows + row_off).reshape(B, -1)  # (B, tries*P*rpp)
+        pos = (rows[..., None] * w + lane).reshape(B, tries, -1)  # (B,T,Lt)
+        flat = (pos + slot_off).reshape(B, -1)  # (B, tries*P*rpp*w)
         pc = pi.point_rows[flat].reshape(B, tries, -1, dp)  # (B, T, Lt, dp)
         qbp = qb.astype(cdtype)
         if dp != d:  # zero pad lanes contribute 0 to the distance
             qbp = jnp.pad(qbp, [(0, 0), (0, dp - d)])
         diff = qbp[:, None, None, :] - pc
         dd = jnp.sum(diff * diff, axis=-1).astype(dtype)  # (B, T, Lt)
-        # within-table positional slot of every candidate (no gather);
         # slots >= n are the packed tail padding (pack_table places all n
         # real points first), so the sentinel mask is purely positional
-        pos = (rows[..., None] * w + lane).reshape(B, tries, -1)  # (B, T, Lt)
         dd = jnp.where(pos < n, dd, jnp.asarray(jnp.inf, dd.dtype))
         tpos, tdist = dedup_topk(pos, dd, k, n_pad)  # (B, T, k) positional
         # real ids for the T*k winners only
@@ -226,7 +228,10 @@ def search_packed_fused_impl(pi: PackedIndex, points, queries,
     start = jnp.minimum(start, n_pad - window)
 
     dp = pi.lane_dim
-    pts_flat = pi.point_rows.reshape(tries * n_pad, dp)
+    # point_rows is stored flat (tries * n_pad, lane_dim) — exactly the
+    # kernel's expected layout; no reshape (a reshape here was a full
+    # relayout copy when rows were stored wide)
+    pts_flat = pi.point_rows
     qp = q if dp == d else jnp.pad(q, [(0, 0), (0, dp - d)])
     pos, dd = probe_topk_pallas(
         pts_flat, qp, start, k=k, n=n, n_pad=n_pad, window=window,

@@ -74,14 +74,26 @@ class Server:
         *,
         mode: str = "auto",
         metric: str = "l2",
-        exact_max_n: int = EXACT_MAX_N_DEFAULT,
+        exact_max_n: int | None = None,
         layout: str = "table",
         window: int | None = None,
         n_probes: int | None = None,
+        storage_dtype=None,
         **build_kw,
     ) -> "Server":
+        """``storage_dtype=jnp.bfloat16`` stores the corpus at half width:
+        the exact engine streams it as stored (no f32 copy, factors
+        bf16-rounded, f32 accumulation — near-identical neighbor sets,
+        tests/test_pallas.py) and its corpus-fits-in-HBM bound doubles, so
+        ``mode="auto"`` keeps recall ~1.0 serving to ~16M x 128 per chip."""
         points = jnp.asarray(points)
+        if storage_dtype is not None:
+            points = points.astype(storage_dtype)
         n = points.shape[0]
+        if exact_max_n is None:
+            exact_max_n = EXACT_MAX_N_DEFAULT
+            if jnp.dtype(points.dtype).itemsize <= 2:
+                exact_max_n *= 2
         if mode == "auto":
             mode = "exact" if n <= exact_max_n and k <= 128 else "hash"
         if mode not in ("exact", "hash"):
@@ -150,7 +162,10 @@ class Server:
             "d": int(self.points.shape[1]),
             "k": self.k,
             "metric": self.metric,
+            # exact on a low-precision stored corpus is exact over the
+            # rounded values (near-1.0 vs the full-precision oracle)
             "recall": 1.0 if self.mode == "exact" else None,
+            "storage_dtype": str(jnp.dtype(self.points.dtype)),
         }
         if self.index is not None:
             d["layout"] = "packed" if self.packed is not None else "table"

@@ -76,13 +76,20 @@ def _storage_points(points, dtype, d_pad):
     return jnp.concatenate([pts, jnp.full((1, d_pad), jnp.inf, dtype)])
 
 
-@partial(jax.jit, static_argnames=("out_rows",))
-def _packed_rows(pts_s, ids, out_rows):
-    """Gather packed rows: (tries, n_pad) slot ids -> (out_rows, w*d_pad).
-    One gather, one output buffer (the reshape merges contiguous dims);
-    peak HBM = storage corpus + packed buffer, nothing else."""
+@jax.jit
+def _packed_rows(pts_s, ids):
+    """Gather packed rows: (tries, n_pad) slot ids -> (tries*n_pad, d_pad).
+
+    Stored FLAT, one point per row.  Merging ``super_width`` points into
+    one wide lane row looks like a free reshape but is a physical relayout
+    on TPU's (8,128)-tiled arrays — a second full-size copy that OOMed the
+    10M pack (measured: the flat gather of the same 7.7 GB fits, the
+    reshaped one does not), and the fused probe kernel wants the flat
+    layout anyway (its wrapper used to reshape BACK, a third copy).  The
+    XLA path gathers ``super_width`` consecutive slot rows per super-row
+    instead of one wide row.  Peak HBM = storage corpus + packed buffer."""
     n = pts_s.shape[0] - 1
-    return pts_s[jnp.minimum(ids, n)].reshape(out_rows, -1)
+    return pts_s[jnp.minimum(ids.reshape(-1), n)]
 
 
 @jax.tree_util.register_dataclass
@@ -259,12 +266,13 @@ class ANNIndex:
         rows run 4x slower at constant volume), ceiling ~230-260M
         candidate-points/s in any dtype.  The packed view stores each
         table's points contiguously by bucket (CSR, exactly n slots per
-        table — no capacity padding, no overflow drops) reshaped into
-        super-rows of ``super_width`` points (default 2 = 1 KB f32 rows at
-        d=128, the measured sweet spot); a probe gathers the aligned
-        super-rows covering ``[start, start + window)`` and gets the
-        candidate *vectors* directly — halving row count vs the padded
-        table path and skipping its second gather through point ids.
+        table — no capacity padding, no overflow drops), one point per
+        lane-aligned row; serve-time reads group slots into *logical*
+        super-rows of ``super_width`` points (alignment granularity — the
+        storage stays flat, see :func:`_packed_rows`).  A probe gathers
+        the aligned slots covering ``[start, start + window)`` and gets
+        the candidate *vectors* directly — skipping the padded table
+        path's second gather through point ids.
         Super-rows swept in by alignment spill across bucket boundaries;
         the extra entries are real points and simply join the candidate
         pool (dedup keeps min-distance copies), so the packed path's
@@ -314,7 +322,6 @@ class ANNIndex:
         # of 8 for every table index t (ops/pallas_probe.py)
         lcm8 = math.lcm(w, 8)
         n_pad = -(-(n + 1) // lcm8) * lcm8
-        n_rows = n_pad // w
         from .ops.buckets import pack_tables
 
         # codes are recomputed from the stored bases (cheap: one matmul);
@@ -343,7 +350,7 @@ class ANNIndex:
             ids = jnp.where(is_dead, n, ids)
         d_pad = -(-d // 128) * 128
         pts_s = points if staged else _storage_points(points, dtype, d_pad)
-        rows = _packed_rows(pts_s, ids, self.tries * n_rows)
+        rows = _packed_rows(pts_s, ids)
         del pts_s  # free the (n+1, d_pad) staging copy before returning
         return PackedIndex(
             row_means=self.row_means,
@@ -424,20 +431,23 @@ class PackedIndex:
     """The packed serving view of an :class:`ANNIndex` — see
     :meth:`ANNIndex.packed` for the layout rationale.
 
-    Array leaves: ``point_rows (tries * n_rows, super_width * d)`` packed
-    candidate vectors in bucket-CSR order, lane-aligned (no id lanes —
-    scoring dedups by packed *position*, which is free, and the real ids
-    are gathered only for the few per-table winners); ``ids (tries,
-    n_pad)`` the packed-slot -> original-id map (sentinel n pads the
-    tail); ``starts (tries, 2^d_short)`` CSR bucket offsets into each
-    table's n-slot segment; plus the query-side fields shared with the
-    padded index (``row_means``, ``bases``, ``graph``, optional raw
-    ``points`` for supercharge).
+    Array leaves: ``point_rows (tries * n_pad, d_pad)`` packed candidate
+    vectors in bucket-CSR order, stored FLAT — one point per lane-aligned
+    row (merging ``super_width`` points into a wide row is a physical
+    relayout on TPU tiled layouts, see :func:`_packed_rows`; super-rows
+    are a *logical* grouping the XLA gather applies at serve time).  No
+    id lanes — scoring dedups by packed *position*, which is free, and
+    the real ids are gathered only for the few per-table winners.  ``ids
+    (tries, n_pad)`` is the packed-slot -> original-id map (sentinel n
+    pads the tail); ``starts (tries, 2^d_short)`` CSR bucket offsets into
+    each table's n_pad-slot segment; plus the query-side fields shared
+    with the padded index (``row_means``, ``bases``, ``graph``, optional
+    raw ``points`` for supercharge).
     """
 
     row_means: Any
     bases: Any  # (tries, d_short, d)
-    point_rows: Any  # (tries * n_rows, super_width * d), float dtype
+    point_rows: Any  # (tries * n_pad, d_pad), float dtype, flat rows
     ids: Any  # (tries, n_pad) int32, sentinel n in padding slots
     starts: Any  # (tries, 2^d_short) int32
     graph: Any  # (n, k) int32
@@ -465,8 +475,14 @@ class PackedIndex:
         return 1 << self.d_short
 
     @property
-    def n_rows(self) -> int:
+    def n_pad(self) -> int:
+        """Slots per table (n+1 rounded up to lcm(super_width, 8))."""
         return self.point_rows.shape[0] // self.tries
+
+    @property
+    def n_rows(self) -> int:
+        """Logical super-rows per table (the XLA gather grouping)."""
+        return self.n_pad // self.super_width
 
     def rows_per_probe(self, window: int | None = None) -> int:
         """Aligned super-rows needed to cover ``[start, start + window)``
@@ -493,6 +509,50 @@ class PackedIndex:
         )
         pts = 0 if self.points is None else self.points.size * f
         return int(base + packed + pts)
+
+    def save(self, path: str) -> None:
+        """Persist the packed view (npz) so serving restarts skip the
+        re-pack.  bf16/f16 rows are stored as raw uint16 words plus a
+        dtype tag (npz has no half-precision float support)."""
+        rows = np.asarray(self.point_rows)
+        row_dt = str(jnp.dtype(self.point_rows.dtype))
+        if rows.dtype.itemsize == 2:
+            rows = rows.view(np.uint16)
+        arrays = dict(
+            row_means=np.asarray(self.row_means),
+            bases=np.asarray(self.bases),
+            point_rows=rows,
+            row_dtype=np.array(row_dt),
+            ids=np.asarray(self.ids),
+            starts=np.asarray(self.starts),
+            graph=np.asarray(self.graph),
+            meta=np.array([self.n, self.k, self.d, self.d_short, self.tries,
+                           self.window, self.super_width, self.d_pad]),
+            metric=np.array(self.metric),
+        )
+        if self.points is not None:
+            arrays["points"] = np.asarray(self.points)
+        np.savez_compressed(path, **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "PackedIndex":
+        z = np.load(path)
+        n, k, d, d_short, tries, window, w, d_pad = (int(v) for v in z["meta"])
+        rows = jnp.asarray(z["point_rows"])
+        row_dt = jnp.dtype(str(z["row_dtype"]))
+        if rows.dtype == jnp.uint16:
+            rows = jax.lax.bitcast_convert_type(rows, row_dt)
+        return cls(
+            row_means=jnp.asarray(z["row_means"]),
+            bases=jnp.asarray(z["bases"]),
+            point_rows=rows,
+            ids=jnp.asarray(z["ids"]),
+            starts=jnp.asarray(z["starts"]),
+            graph=jnp.asarray(z["graph"]),
+            points=jnp.asarray(z["points"]) if "points" in z else None,
+            n=n, k=k, d=d, d_short=d_short, tries=tries, window=window,
+            super_width=w, metric=str(z["metric"]), d_pad=d_pad,
+        )
 
 
 def _load_annindex(cls, path: str) -> "ANNIndex":

@@ -185,8 +185,19 @@ def exact_knn_pallas(
     if k > 128:
         raise ValueError("exact_knn_pallas supports k <= 128 (unrolled selection)")
     f32 = jnp.float32
-    cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else jnp.dtype(f32)
-    points = points.astype(f32)
+    if compute_dtype is not None:
+        cdt = jnp.dtype(compute_dtype)
+    elif points.dtype in (jnp.bfloat16, jnp.float16):
+        # a low-precision *stored* corpus already rounded the factors;
+        # streaming it at storage width halves HBM reads and never
+        # materializes an f32 copy (2x corpus capacity per chip — the
+        # exact engine's scale axis).  Accumulation stays f32 either way.
+        cdt = jnp.dtype(points.dtype)
+    else:
+        cdt = jnp.dtype(f32)
+    # keep the corpus at storage width; the kernel streams it in cdt and
+    # the norm reduce below upcasts per-element inside the fused reduction
+    pts_c = points if points.dtype == cdt else points.astype(cdt)
     queries = queries.astype(f32)
     if exclude is None:
         exclude = jnp.full((m,), _NEG1, jnp.int32)
@@ -223,9 +234,11 @@ def exact_knn_pallas(
     qp = pad_rows(queries, 0.0)
     qn = jnp.sum(qp * qp, axis=-1, keepdims=True)
     ep = pad_rows(exclude[:, None], _NEG1)
-    # norms from the unrounded f32 points, padded to the tile grid so the
-    # (1, tile) block never reads out of bounds
-    pn_full = jnp.sum(points * points, axis=-1)[None, :]
+    # norms in f32 from the stored values (upcast fuses into the reduce;
+    # no widened corpus copy), padded to the tile grid so the (1, tile)
+    # block never reads out of bounds
+    pf = points.astype(f32)
+    pn_full = jnp.sum(pf * pf, axis=-1)[None, :]
     np_pad = n_tiles * tile
     if np_pad != n:
         pn_full = jnp.pad(pn_full, [(0, 0), (0, np_pad - n)])
@@ -272,7 +285,7 @@ def exact_knn_pallas(
             ),
         ),
         interpret=interpret,
-    )(qp.astype(cdt), qn, ep, points.astype(cdt), pn_full)
+    )(qp.astype(cdt), qn, ep, pts_c, pn_full)
     ids = out_i[:m].astype(itype)
     dd = out_d[:m]
     # exhausted rows (k > n etc.) already carry (n, +inf)
@@ -307,9 +320,12 @@ def exact_search(points, queries, k: int, **kw):
     1.0 at hundreds of thousands of QPS — not just the test oracle."""
     points = jnp.asarray(points)
     if _platform_of(points) in ("tpu", "axon") and k <= 128:
+        # a bf16/f16 corpus is streamed at storage width (see
+        # exact_knn_pallas); everything else runs in f32
+        if points.dtype not in (jnp.bfloat16, jnp.float16):
+            points = jnp.asarray(points, jnp.float32)
         return exact_knn_pallas(
-            jnp.asarray(points, jnp.float32), jnp.asarray(queries, jnp.float32),
-            k, **kw,
+            points, jnp.asarray(queries, jnp.float32), k, **kw,
         )
     from .distance import brute_force_knn
 

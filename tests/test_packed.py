@@ -149,7 +149,10 @@ def test_packed_sentinel_and_shapes(built):
     X, Y, index, _ = built
     pi = index.packed(X, window=4, super_width=8)
     assert pi.super_width == 8
-    assert pi.point_rows.shape[1] == 8 * pi.lane_dim
+    # storage is flat (one point per row); super_width only sets the
+    # serve-time grouping and the n_pad alignment
+    assert pi.point_rows.shape == (pi.tries * pi.n_pad, pi.lane_dim)
+    assert pi.n_pad % 8 == 0
     assert pi.lane_dim % 128 == 0 and pi.lane_dim >= pi.d
     ids_p, dists_p = ann.search_packed(pi, X, Y)
     ids_np = np.asarray(ids_p)
@@ -171,6 +174,24 @@ def test_packed_angular_metric(rng):
     d2 = ((Yn[:, None, :] - Xn[None, :, :]) ** 2).sum(-1)
     true_ids = np.argsort(d2, axis=1)[:, :k]
     assert _recall(ids_p, true_ids) > 0.4
+
+
+def test_packed_save_load_roundtrip(built, tmp_path):
+    """Packed views persist (serving restarts skip the re-pack); bf16
+    rows round-trip through the uint16 encoding."""
+    X, Y, index, true_ids = built
+    for dt in (None, jnp.bfloat16):
+        pi = index.packed(X, dtype=dt, store_points=False)
+        p = str(tmp_path / f"pv_{dt}.npz")
+        pi.save(p)
+        pi2 = ann.PackedIndex.load(p)
+        assert pi2.point_rows.dtype == pi.point_rows.dtype
+        assert (pi2.n, pi2.k, pi2.window, pi2.super_width, pi2.d_pad) == (
+            pi.n, pi.k, pi.window, pi.super_width, pi.d_pad
+        )
+        ids_a, _ = ann.search_packed(pi, X, Y)
+        ids_b, _ = ann.search_packed(pi2, X, Y)
+        np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
 
 
 def test_packed_requires_points():

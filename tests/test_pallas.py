@@ -40,6 +40,26 @@ class TestExactKNNPallas:
         assert overlap > 0.9, overlap
         assert np.all(np.diff(np.asarray(da), axis=1) >= -1e-3)
 
+    def test_bf16_stored_corpus(self, rng):
+        """A bf16-stored corpus is streamed at storage width (cdt defaults
+        to the storage dtype; no f32 copy) and the result matches the
+        oracle evaluated on the same bf16-rounded values."""
+        pf = rng.standard_normal((500, 32)).astype(np.float32)
+        p = jnp.asarray(pf).astype(jnp.bfloat16)
+        q = jnp.asarray(rng.standard_normal((40, 32)).astype(np.float32))
+        ia, da = exact_knn_pallas(p, q, 10, tile=256, query_block=16,
+                                  interpret=True)
+        ib, db = brute_force_knn(p.astype(jnp.float32), q, 10)
+        overlap = np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / 10
+            for a, b in zip(np.asarray(ia), np.asarray(ib))
+        ])
+        assert overlap > 0.9, overlap
+        assert np.asarray(da).dtype == np.float32
+        np.testing.assert_allclose(
+            np.asarray(da)[:, 0], np.asarray(db)[:, 0], rtol=3e-2, atol=3e-2
+        )
+
     def test_ascending_order(self, rng):
         p = jnp.asarray(rng.standard_normal((300, 8)).astype(np.float32))
         q = jnp.asarray(rng.standard_normal((9, 8)).astype(np.float32))

@@ -28,6 +28,32 @@ def test_auto_picks_exact_below_threshold(data):
     assert srv.describe()["recall"] == 1.0
 
 
+def test_exact_bf16_storage(data):
+    """storage_dtype=bf16 halves the served corpus and doubles the exact
+    engine's auto threshold; results match the oracle on the rounded
+    values (the exact kernel streams bf16 as stored, no f32 copy)."""
+    X, Y = data
+    srv = Server.build(X, k=5, storage_dtype=jnp.bfloat16)
+    assert srv.mode == "exact"
+    assert srv.points.dtype == jnp.bfloat16
+    assert srv.describe()["storage_dtype"] == "bfloat16"
+    ids, _ = srv.search(Y)
+    ti, _ = ann.brute_force_knn(X.astype(jnp.bfloat16).astype(jnp.float32),
+                                Y, 5)
+    overlap = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 5
+        for a, b in zip(np.asarray(ids), np.asarray(ti))
+    ])
+    assert overlap > 0.9, overlap
+    # the doubled threshold: 3000 points, bf16 -> exact even when the f32
+    # threshold would force hash
+    srv2 = Server.build(X, k=5, storage_dtype=jnp.bfloat16,
+                        exact_max_n=3000)
+    assert srv2.mode == "exact"
+    srv3 = Server.build(X, k=5, exact_max_n=1000, tries=4, seed=2)
+    assert srv3.mode == "hash"
+
+
 def test_auto_picks_hash_above_threshold(data):
     X, Y = data
     srv = Server.build(X, k=5, exact_max_n=1000, tries=4, seed=2)
