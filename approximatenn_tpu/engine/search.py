@@ -96,7 +96,8 @@ _search_jit = partial(
 
 
 def search_packed_impl(pi: PackedIndex, points, queries, block_rows: int,
-                       n_probes: int | None = None):
+                       n_probes: int | None = None,
+                       supercharge_rounds: int = 1):
     """Query pipeline over the packed (bucket-CSR wide-row) layout.
 
     Same algorithm as :func:`search_impl`; the candidate stage differs:
@@ -170,12 +171,14 @@ def search_packed_impl(pi: PackedIndex, points, queries, block_rows: int,
         t1, td1 = dedup_topk(
             wids.reshape(B, -1), tdist.reshape(B, -1), k, n
         )
-        safe = jnp.where(t1 < n, t1, 0)
-        exp = jnp.where((t1 < n)[..., None], pi.graph[safe], n)
-        cand2 = jnp.concatenate([t1, exp.reshape(-1, k * k)], axis=-1)
-        dd2 = candidate_dists(qb, points, exp.reshape(-1, k * k))
-        dd2 = jnp.concatenate([td1, dd2], axis=-1)
-        return dedup_topk(cand2, dd2, k, n)
+        for _ in range(supercharge_rounds):
+            safe = jnp.where(t1 < n, t1, 0)
+            exp = jnp.where((t1 < n)[..., None], pi.graph[safe], n)
+            cand2 = jnp.concatenate([t1, exp.reshape(-1, k * k)], axis=-1)
+            dd2 = candidate_dists(qb, points, exp.reshape(-1, k * k))
+            dd2 = jnp.concatenate([td1, dd2], axis=-1)
+            t1, td1 = dedup_topk(cand2, dd2, k, n)
+        return t1, td1
 
     return blocked_over_rows(
         stage, m, block_rows, q, codes, proj, pad_values=(0.0, 0, 0.0)
@@ -183,7 +186,7 @@ def search_packed_impl(pi: PackedIndex, points, queries, block_rows: int,
 
 
 _search_packed_jit = partial(
-    jax.jit, static_argnames=("block_rows", "n_probes")
+    jax.jit, static_argnames=("block_rows", "n_probes", "supercharge_rounds")
 )(search_packed_impl)
 
 
@@ -191,7 +194,8 @@ def search_packed_fused_impl(pi: PackedIndex, points, queries,
                              n_probes: int | None = None,
                              window: int | None = None,
                              query_block: int = 16,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             supercharge_rounds: int = 1):
     """Packed-layout query with the fused probe-window Pallas kernel
     (:mod:`..ops.pallas_probe`) as the candidate stage.
 
@@ -244,16 +248,22 @@ def search_packed_fused_impl(pi: PackedIndex, points, queries,
     wids = jnp.where(jnp.isinf(dd), n, wids)
     t1, td1 = dedup_topk(wids.reshape(m, -1), dd.reshape(m, -1), k, n)
 
-    safe = jnp.where(t1 < n, t1, 0)
-    exp = jnp.where((t1 < n)[..., None], pi.graph[safe], n)
-    cand2 = jnp.concatenate([t1, exp.reshape(-1, k * k)], axis=-1)
-    dd2 = candidate_dists(q, points, exp.reshape(-1, k * k))
-    dd2 = jnp.concatenate([td1, dd2], axis=-1)
-    return dedup_topk(cand2, dd2, k, n)
+    for _ in range(supercharge_rounds):
+        safe = jnp.where(t1 < n, t1, 0)
+        exp = jnp.where((t1 < n)[..., None], pi.graph[safe], n)
+        cand2 = jnp.concatenate([t1, exp.reshape(-1, k * k)], axis=-1)
+        dd2 = candidate_dists(q, points, exp.reshape(-1, k * k))
+        dd2 = jnp.concatenate([td1, dd2], axis=-1)
+        t1, td1 = dedup_topk(cand2, dd2, k, n)
+    return t1, td1
 
 
 _search_packed_fused_jit = partial(
-    jax.jit, static_argnames=("n_probes", "window", "query_block", "interpret")
+    jax.jit,
+    static_argnames=(
+        "n_probes", "window", "query_block", "interpret",
+        "supercharge_rounds",
+    ),
 )(search_packed_fused_impl)
 
 
@@ -282,6 +292,7 @@ def search_packed_fused(
     window: int | None = None,
     query_block: int = 16,
     interpret: bool = False,
+    supercharge_rounds: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """:func:`search_packed` served through the fused probe-window Pallas
     kernel — same contract ((ids, squared dists), sentinel n).  TPU-only
@@ -308,6 +319,7 @@ def search_packed_fused(
     return _search_packed_fused_jit(
         pindex, points, queries, n_probes=n_probes, window=window,
         query_block=query_block, interpret=interpret,
+        supercharge_rounds=supercharge_rounds,
     )
 
 
@@ -319,6 +331,7 @@ def search_packed(
     budget_bytes: int = 128 << 20,
     block_rows: int | None = None,
     n_probes: int | None = None,
+    supercharge_rounds: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """High-throughput search over a packed view (``index.packed()``).
 
@@ -354,7 +367,8 @@ def search_packed(
     points = _as_corpus(points, pindex.bases.dtype)
     queries = jnp.asarray(queries, pindex.bases.dtype)
     return _search_packed_jit(pindex, points, queries, block_rows=block_rows,
-                              n_probes=n_probes)
+                              n_probes=n_probes,
+                              supercharge_rounds=supercharge_rounds)
 
 
 def search(

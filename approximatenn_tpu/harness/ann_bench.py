@@ -56,7 +56,7 @@ def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto",
     Yd = jnp.asarray(ds.queries[:nq])
     pts = None if index.points is not None else Xd
     skw = dict(n_probes=n_probes)
-    if not packed and supercharge_rounds != 1:
+    if supercharge_rounds != 1:
         skw["supercharge_rounds"] = supercharge_rounds
     if not packed and rerank_width is not None:
         skw["rerank_width"] = rerank_width
@@ -117,9 +117,7 @@ def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto",
         "latency_s": round(float(np.median(lat)), 6),
         "index_mb": round(index_mb, 1),
         "layout": ("packed-fused" if fused else "packed") if packed else "table",
-        # packed serving always runs exactly 1 supercharge round (the
-        # search_packed pipeline has no knob); report what actually ran
-        "supercharge_rounds": 1 if packed else supercharge_rounds,
+        "supercharge_rounds": supercharge_rounds,
         **({"rerank_width": rerank_width}
            if not packed and rerank_width is not None else {}),
         **(

@@ -47,10 +47,24 @@ def make_parser(prog: str, desc: str) -> argparse.ArgumentParser:
 
 
 def resolve_backend(use_cpu: bool):
-    """Return the jax device to run on, pinning CPU if requested."""
+    """Return the jax device to run on, pinning CPU if requested.
+
+    ``use_cpu`` pins the whole process to the CPU platform *before* any
+    backend initializes (best-effort once one exists): accelerator plugins
+    registered by the environment override the ``JAX_PLATFORMS`` env var
+    programmatically, so ``-c`` must re-pin through ``jax.config`` or a
+    mere ``jax.devices("cpu")`` call would initialize — and block on — an
+    unreachable accelerator.  The reference's ``use_cpu`` contract
+    (``ann.h:37-39``) is that the CPU path needs no device at all.
+    (``compare_results`` intentionally does NOT use this: it needs both
+    backends in one process.)"""
     import jax
 
     if use_cpu:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass  # a backend is already up; devices("cpu") still works
         return jax.devices("cpu")[0]
     return jax.devices()[0]
 

@@ -176,6 +176,21 @@ def test_packed_angular_metric(rng):
     assert _recall(ids_p, true_ids) > 0.4
 
 
+def test_packed_supercharge_rounds(built):
+    """Knob parity with the table path: extra graph rounds may only help
+    (monotone candidate pool), 0 disables supercharge entirely."""
+    X, Y, index, true_ids = built
+    pi = index.packed(X, store_points=False)
+    recs = []
+    for rounds in (0, 1, 2):
+        ids, _ = ann.search_packed(pi, X, Y, supercharge_rounds=rounds)
+        recs.append(_recall(ids, true_ids))
+    assert recs[1] >= recs[0] - 1e-9 and recs[2] >= recs[1] - 1e-9, recs
+    ids_f, _ = ann.search_packed_fused(pi, X, Y, interpret=True,
+                                       supercharge_rounds=2)
+    assert _recall(ids_f, true_ids) >= recs[1] - 0.02
+
+
 def test_packed_save_load_roundtrip(built, tmp_path):
     """Packed views persist (serving restarts skip the re-pack); bf16
     rows round-trip through the uint16 encoding."""
