@@ -35,6 +35,7 @@ from ..ops.buckets import bucket_counts, build_tables, multiprobe_gather
 from ..ops.distance import blocked_over_rows, candidate_dists, pick_block
 from ..ops.hash import pack_signs, probe_codes_directed
 from ..ops.topk import dedup_topk
+from ..utils.profiling import fence
 from ..ops.transforms import (
     derive_dims,
     materialize_bases,
@@ -258,6 +259,10 @@ def graph_stage_chunked(points, codes, counts, *, k, d_short, tmax, block_rows,
     tries = codes.shape[0]
     nb = 1 << d_short
     tables = build_tables(codes, nb, tmax, n)
+    # stage-boundary fence: the vmapped per-table sorts carry multi-GB
+    # workspace at 10M; workspaces are allocated at ENQUEUE on this
+    # runtime, so without the fence they stack on top of the probe chunks'
+    fence([tables])
     chunk = min(_MAX_BLOCKS_PER_CALL * block_rows, n)
     if row_means is None:
         row_means = jnp.zeros((points.shape[1],), points.dtype)
@@ -282,6 +287,7 @@ def graph_stage_chunked(points, codes, counts, *, k, d_short, tmax, block_rows,
                 n_probes=n_probes,
             )
             per_t.append((ids_k, d_k))
+            fence([ids_k])  # one program's workspace live at a time
             if progress:
                 progress(f"rows {lo}..{lo + m}/{n} table {t + 1}/{tries}")
         # t-major per row, identical to moveaxis(stack(...), 0, 1).reshape
@@ -290,8 +296,20 @@ def graph_stage_chunked(points, codes, counts, *, k, d_short, tmax, block_rows,
         gi, gd = _merge_tables(cand1, d1, k=k, n=n)
         g1_parts.append(gi)
         gd1_parts.append(gd)
+        del per_t, cand1, d1  # (chunk, tries*k) x2 — ~0.9 GB at 10M
+        fence([gi])  # serialize chunks: enqueue-ahead stacks every queued
+        # program's workspace+outputs on the device at once (the 10M OOM —
+        # ~19 chunks x ~0.4 GB); execution is serial on this runtime, so a
+        # per-chunk sync costs one ~25 ms RTT and caps live memory at one
+        # chunk's workspace
     g1 = jnp.concatenate(g1_parts)
     gd1 = jnp.concatenate(gd1_parts)
+    # free the per-chunk parts: at 10M they total 2x (n, k) x 8 B ~ 1.4 GB
+    # still resident next to the concatenated copies — measured as the
+    # margin between fitting and OOM in the supercharge loop below
+    g1_parts.clear()
+    gd1_parts.clear()
+    del gi, gd
 
     parts_i, parts_d = [], []
     for lo in range(0, n, chunk):
@@ -305,8 +323,12 @@ def graph_stage_chunked(points, codes, counts, *, k, d_short, tmax, block_rows,
         )
         parts_i.append(ids_k)
         parts_d.append(d_k)
+        fence([ids_k])  # same enqueue-ahead cap as the probe loop
         if progress:
             progress(f"supercharge rows {lo + m}/{n}")
+    # gd1 is dead once the last chunk's inputs are sliced; g1 must outlive
+    # the loop (it is the gather source inside _supercharge_chunk)
+    del gd1, g1
     return tables, jnp.concatenate(parts_i), jnp.concatenate(parts_d)
 
 
@@ -449,6 +471,7 @@ def build(
                 points_f, codes, counts, k=k, d_short=d_short, tmax=tmax,
                 block_rows=block_rows, **pkw,
             )
+    del codes  # (tries, n) int32 — dead once the tables exist (0.4 GB @ 10M)
     index = ANNIndex(
         row_means=row_means, bases=bases, tables=tables, counts=counts,
         graph=graph, n=n, k=k, d=d, d_short=d_short, tries=tries, tmax=tmax,

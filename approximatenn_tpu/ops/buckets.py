@@ -46,8 +46,27 @@ def build_table(codes: jax.Array, n_buckets: int, capacity: int, sentinel: int) 
 def build_tables(codes: jax.Array, n_buckets: int, capacity: int, sentinel: int) -> jax.Array:
     """Stacked per-table build: codes ``(tries, n)`` -> ``(tries, n_buckets,
     capacity)`` (role of the per-try ``second_half`` host phase,
-    ``alg.c:412-416``), vmapped over tables."""
-    return jax.vmap(lambda c: build_table(c, n_buckets, capacity, sentinel))(codes)
+    ``alg.c:412-416``), vmapped over tables.
+
+    Above ~16M total codes the vmap becomes one program carrying ``tries``
+    stable-sort workspaces at once (several GB at 10M x 10 — a measured
+    OOM); large builds loop tables on the host with a completion fence per
+    table (workspaces are allocated at enqueue on this runtime), identical
+    results."""
+    tries, n = codes.shape
+    if tries * n <= (1 << 24):
+        return jax.vmap(lambda c: build_table(c, n_buckets, capacity, sentinel))(codes)
+    from ..utils.profiling import fence
+
+    parts = []
+    for t in range(tries):
+        tbl = build_table(codes[t], n_buckets, capacity, sentinel)
+        fence([tbl])
+        parts.append(tbl)
+    out = jnp.stack(parts)
+    parts.clear()
+    del tbl
+    return out
 
 
 def pack_table(codes: jax.Array, n_buckets: int) -> tuple[jax.Array, jax.Array]:

@@ -31,7 +31,7 @@ def fence(tree) -> None:
         # slice ONE element first, then flatten: reshape(-1) on a large 2-D
         # array is a physical relayout copy on TPU tiled layouts (eagerly
         # materialized — fencing a 7.7 GB buffer allocated a second one and
-        # OOMed the 10M pack; CLAUDE.md rule 15)
+        # OOMed the 10M pack; CLAUDE.md reshape-relayout rule)
         x = leaves[-1]
         one = x[(0,) * (x.ndim - 1)] if x.ndim else x
         float(jnp.sum(one.reshape(-1)[:1].astype(jnp.float32)))
