@@ -24,9 +24,11 @@ import jax.numpy as jnp
 
 from ..config import itype
 from ..index import ANNIndex, PackedIndex
+from ..ops.buckets import multiprobe_gather
 from ..ops.distance import blocked_over_rows, candidate_dists, pick_block
 from ..ops.hash import pack_signs, probe_codes, probe_codes_directed
 from ..ops.topk import dedup_topk
+from ..utils.profiling import fence
 
 
 def search_impl(index: ANNIndex, points, queries, block_rows: int,
@@ -95,9 +97,119 @@ _search_jit = partial(
 )(search_impl)
 
 
+# ---------------------------------------------------------------------------
+# Host-chunked query driver for huge corpora.  One monolithic search program
+# taking points + ALL tables + graph as loop-invariant lax.map arguments
+# makes XLA's rematerializer insert compressed/uncompressed layout copies of
+# each of them (measured at 10M x 96, tries=10: +13.35 GB of HLO temps — a
+# compile-time OOM on a 16 GB chip).  The chunked driver mirrors the build's
+# solution (`engine/build.py:graph_stage_chunked`): one device program per
+# (table, query batch) holding a single 0.25 GB table, a host-side merge,
+# then a supercharge program holding only the graph — with a completion
+# fence after each program (workspace is allocated at enqueue on this
+# runtime).  Identical results to `search_impl`: per-table top-kk followed
+# by a dedup merge selects exactly the union top-kk (distances are a
+# function of id alone, and dedup keeps the min-distance copy).
+# ---------------------------------------------------------------------------
+
+_ONE_SHOT_MAX_BYTES = 5 << 30  # points+tables+graph above this -> chunked
+
+
+@jax.jit
+def _query_codes(row_means, bases, queries):
+    """Bucket codes of each query under every table: (m, tries) int."""
+    tries, d_short, d = bases.shape
+    yc = queries - row_means
+    proj = (yc @ bases.reshape(tries * d_short, d).T)
+    return pack_signs(proj.reshape(queries.shape[0], tries, d_short))
+
+
+@partial(jax.jit, static_argnames=("k", "d_short", "block_rows", "n_probes"))
+def _probe_table_q(points, table, queries, codes_t, row_means, basis,
+                   *, k, d_short, block_rows, n_probes=None):
+    """One table's multiprobe candidates + top-k for a query batch (query
+    counterpart of the build's `_probe_chunk`)."""
+    n = points.shape[0]
+    m = queries.shape[0]
+
+    def stage(qb, cb):
+        if n_probes is None:
+            cand = multiprobe_gather(table, cb, d_short)
+        else:
+            proj = (qb - row_means) @ basis.T
+            probes = probe_codes_directed(cb, proj, n_probes)
+            cand = table[probes].reshape(qb.shape[0], -1)
+        dd = candidate_dists(qb, points, cand)
+        return dedup_topk(cand, dd, k, n)
+
+    return blocked_over_rows(
+        stage, m, min(block_rows, m), queries, codes_t, pad_values=(0.0, 0)
+    )
+
+
+@partial(jax.jit, static_argnames=("block_rows",))
+def _supercharge_q(points, graph, queries, t1, td1, *, block_rows):
+    """One graph-expansion round over current top-kk (query counterpart of
+    the build's `_supercharge_chunk`; `alg.c:507-512`)."""
+    n = points.shape[0]
+    m = queries.shape[0]
+    kk = t1.shape[1]
+    k = graph.shape[1]
+
+    def stage(qb, t1b, td1b):
+        safe = jnp.where(t1b < n, t1b, 0)
+        exp = jnp.where((t1b < n)[..., None], graph[safe], n)
+        cand2 = jnp.concatenate([t1b, exp.reshape(-1, kk * k)], axis=-1)
+        dd2 = candidate_dists(qb, points, exp.reshape(-1, kk * k))
+        dd2 = jnp.concatenate([td1b, dd2], axis=-1)
+        return dedup_topk(cand2, dd2, kk, n)
+
+    return blocked_over_rows(
+        stage, m, min(block_rows, m), queries, t1, td1,
+        pad_values=(0.0, 0, jnp.inf),
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "n"))
+def _merge_q(cand, dd, *, k, n):
+    return dedup_topk(cand, dd, k, n)
+
+
+def _search_chunked(index: ANNIndex, points, queries, *, block_rows,
+                    n_probes=None, supercharge_rounds=1, rerank_width=None):
+    n, k, d_short, tries = index.n, index.k, index.d_short, index.tries
+    kk = k if rerank_width is None else max(int(rerank_width), k)
+    codes = _query_codes(index.row_means, index.bases, queries)
+    fence([codes])
+    parts_i, parts_d = [], []
+    for t in range(tries):
+        ids_k, d_k = _probe_table_q(
+            points, index.tables[t], queries, codes[:, t],
+            index.row_means, index.bases[t],
+            k=kk, d_short=d_short, block_rows=block_rows, n_probes=n_probes,
+        )
+        fence([ids_k])  # one program's workspace live at a time
+        parts_i.append(ids_k)
+        parts_d.append(d_k)
+    t1, td1 = _merge_q(
+        jnp.concatenate(parts_i, axis=-1), jnp.concatenate(parts_d, axis=-1),
+        k=kk, n=n,
+    )
+    parts_i.clear()
+    parts_d.clear()
+    fence([t1])
+    for _ in range(supercharge_rounds):
+        t1, td1 = _supercharge_q(
+            points, index.graph, queries, t1, td1, block_rows=block_rows
+        )
+        fence([t1])
+    return t1[:, :k], td1[:, :k]
+
+
 def search_packed_impl(pi: PackedIndex, points, queries, block_rows: int,
                        n_probes: int | None = None,
-                       supercharge_rounds: int = 1):
+                       supercharge_rounds: int = 1,
+                       rerank_width: int | None = None):
     """Query pipeline over the packed (bucket-CSR wide-row) layout.
 
     Same algorithm as :func:`search_impl`; the candidate stage differs:
@@ -117,6 +229,9 @@ def search_packed_impl(pi: PackedIndex, points, queries, block_rows: int,
     see ``ANNIndex.packed``).
     """
     n, k, d_short, tries = pi.n, pi.k, pi.d_short, pi.tries
+    # same widened-pool lever as search_impl: per-table and merged top-k
+    # run at kk >= k, cut to k after the last supercharge round
+    kk = k if rerank_width is None else max(int(rerank_width), k)
     w, d = pi.super_width, pi.d
     dp = pi.lane_dim  # stored lane dim (d zero-padded to a 128 multiple)
     nrows = pi.n_rows
@@ -163,21 +278,23 @@ def search_packed_impl(pi: PackedIndex, points, queries, block_rows: int,
         # slots >= n are the packed tail padding (pack_table places all n
         # real points first), so the sentinel mask is purely positional
         dd = jnp.where(pos < n, dd, jnp.asarray(jnp.inf, dd.dtype))
-        tpos, tdist = dedup_topk(pos, dd, k, n_pad)  # (B, T, k) positional
+        tpos, tdist = dedup_topk(pos, dd, kk, n_pad)  # (B, T, kk) positional
         # real ids for the T*k winners only
         gpos = tpos + (jnp.arange(tries, dtype=itype) * n_pad)[None, :, None]
         wids = ids_flat[jnp.minimum(gpos, ids_flat.shape[0] - 1)]
         wids = jnp.where(jnp.isinf(tdist), n, wids)
         t1, td1 = dedup_topk(
-            wids.reshape(B, -1), tdist.reshape(B, -1), k, n
+            wids.reshape(B, -1), tdist.reshape(B, -1), kk, n
         )
         for _ in range(supercharge_rounds):
             safe = jnp.where(t1 < n, t1, 0)
             exp = jnp.where((t1 < n)[..., None], pi.graph[safe], n)
-            cand2 = jnp.concatenate([t1, exp.reshape(-1, k * k)], axis=-1)
-            dd2 = candidate_dists(qb, points, exp.reshape(-1, k * k))
+            cand2 = jnp.concatenate([t1, exp.reshape(-1, kk * k)], axis=-1)
+            dd2 = candidate_dists(qb, points, exp.reshape(-1, kk * k))
             dd2 = jnp.concatenate([td1, dd2], axis=-1)
-            t1, td1 = dedup_topk(cand2, dd2, k, n)
+            t1, td1 = dedup_topk(cand2, dd2, kk, n)
+        if kk != k:
+            t1, td1 = t1[:, :k], td1[:, :k]
         return t1, td1
 
     return blocked_over_rows(
@@ -186,7 +303,10 @@ def search_packed_impl(pi: PackedIndex, points, queries, block_rows: int,
 
 
 _search_packed_jit = partial(
-    jax.jit, static_argnames=("block_rows", "n_probes", "supercharge_rounds")
+    jax.jit,
+    static_argnames=(
+        "block_rows", "n_probes", "supercharge_rounds", "rerank_width"
+    ),
 )(search_packed_impl)
 
 
@@ -195,7 +315,8 @@ def search_packed_fused_impl(pi: PackedIndex, points, queries,
                              window: int | None = None,
                              query_block: int = 16,
                              interpret: bool = False,
-                             supercharge_rounds: int = 1):
+                             supercharge_rounds: int = 1,
+                             rerank_width: int | None = None):
     """Packed-layout query with the fused probe-window Pallas kernel
     (:mod:`..ops.pallas_probe`) as the candidate stage.
 
@@ -208,6 +329,10 @@ def search_packed_fused_impl(pi: PackedIndex, points, queries,
     from ..ops.pallas_probe import probe_topk_pallas
 
     n, k, d_short, tries = pi.n, pi.k, pi.d_short, pi.tries
+    # widened pool: the kernel's streaming top-k itself runs at kk per
+    # table (its cost is ~linear in kk only in the merge rounds), and the
+    # merge + supercharge keep kk candidates; cut to k at the end
+    kk = k if rerank_width is None else max(int(rerank_width), k)
     d = pi.d
     n_pad = pi.n_rows * pi.super_width
     window = pi.window if window is None else window
@@ -238,23 +363,25 @@ def search_packed_fused_impl(pi: PackedIndex, points, queries,
     pts_flat = pi.point_rows
     qp = q if dp == d else jnp.pad(q, [(0, 0), (0, dp - d)])
     pos, dd = probe_topk_pallas(
-        pts_flat, qp, start, k=k, n=n, n_pad=n_pad, window=window,
+        pts_flat, qp, start, k=kk, n=n, n_pad=n_pad, window=window,
         query_block=query_block, interpret=interpret,
-    )  # (m, tries, k) within-table slots + dists
+    )  # (m, tries, kk) within-table slots + dists
 
     ids_flat = pi.ids.reshape(-1)
     gpos = pos + (jnp.arange(tries, dtype=itype) * n_pad)[None, :, None]
     wids = ids_flat[jnp.minimum(gpos, ids_flat.shape[0] - 1)]
     wids = jnp.where(jnp.isinf(dd), n, wids)
-    t1, td1 = dedup_topk(wids.reshape(m, -1), dd.reshape(m, -1), k, n)
+    t1, td1 = dedup_topk(wids.reshape(m, -1), dd.reshape(m, -1), kk, n)
 
     for _ in range(supercharge_rounds):
         safe = jnp.where(t1 < n, t1, 0)
         exp = jnp.where((t1 < n)[..., None], pi.graph[safe], n)
-        cand2 = jnp.concatenate([t1, exp.reshape(-1, k * k)], axis=-1)
-        dd2 = candidate_dists(q, points, exp.reshape(-1, k * k))
+        cand2 = jnp.concatenate([t1, exp.reshape(-1, kk * k)], axis=-1)
+        dd2 = candidate_dists(q, points, exp.reshape(-1, kk * k))
         dd2 = jnp.concatenate([td1, dd2], axis=-1)
-        t1, td1 = dedup_topk(cand2, dd2, k, n)
+        t1, td1 = dedup_topk(cand2, dd2, kk, n)
+    if kk != k:
+        t1, td1 = t1[:, :k], td1[:, :k]
     return t1, td1
 
 
@@ -262,7 +389,7 @@ _search_packed_fused_jit = partial(
     jax.jit,
     static_argnames=(
         "n_probes", "window", "query_block", "interpret",
-        "supercharge_rounds",
+        "supercharge_rounds", "rerank_width",
     ),
 )(search_packed_fused_impl)
 
@@ -293,12 +420,15 @@ def search_packed_fused(
     query_block: int = 16,
     interpret: bool = False,
     supercharge_rounds: int = 1,
+    rerank_width: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """:func:`search_packed` served through the fused probe-window Pallas
     kernel — same contract ((ids, squared dists), sentinel n).  TPU-only
     (``interpret=True`` runs the identical kernel on CPU for tests).
     ``window`` overrides the view's per-probe read depth; ``query_block``
-    is the kernel's query tile (DMA concurrency = query_block * P)."""
+    is the kernel's query tile (DMA concurrency = query_block * P).
+    ``rerank_width`` widens the per-table and merged candidate pools
+    (see :func:`search`); the kernel's on-chip top-k runs at that width."""
     if queries is None:
         points, queries = None, points
     if points is None:
@@ -319,7 +449,7 @@ def search_packed_fused(
     return _search_packed_fused_jit(
         pindex, points, queries, n_probes=n_probes, window=window,
         query_block=query_block, interpret=interpret,
-        supercharge_rounds=supercharge_rounds,
+        supercharge_rounds=supercharge_rounds, rerank_width=rerank_width,
     )
 
 
@@ -332,14 +462,16 @@ def search_packed(
     block_rows: int | None = None,
     n_probes: int | None = None,
     supercharge_rounds: int = 1,
+    rerank_width: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """High-throughput search over a packed view (``index.packed()``).
 
     Same contract as :func:`search` — (ids, squared dists), sentinel n
     padding — with the packed candidate superset semantics.  ``points`` is
     only needed for the supercharge distance pass; the view stores it by
-    default.  The serve-time knobs: ``pindex.with_window(w)`` (read depth)
-    and ``n_probes`` (probe count, None = blind Hamming-1 set).
+    default.  The serve-time knobs: ``pindex.with_window(w)`` (read depth),
+    ``n_probes`` (probe count, None = blind Hamming-1 set), and
+    ``rerank_width`` (widened candidate pool, see :func:`search`).
     """
     if queries is None:
         points, queries = None, points
@@ -368,7 +500,8 @@ def search_packed(
     queries = jnp.asarray(queries, pindex.bases.dtype)
     return _search_packed_jit(pindex, points, queries, block_rows=block_rows,
                               n_probes=n_probes,
-                              supercharge_rounds=supercharge_rounds)
+                              supercharge_rounds=supercharge_rounds,
+                              rerank_width=rerank_width)
 
 
 def search(
@@ -381,8 +514,14 @@ def search(
     n_probes: int | None = None,
     supercharge_rounds: int = 1,
     rerank_width: int | None = None,
+    chunked: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Find the k approximate nearest neighbors of each query.
+
+    ``chunked``: None (default) auto-selects the host-chunked driver when
+    points+tables+graph exceed ~5 GB (one monolithic program over those
+    arguments OOMs at compile time from rematerializer layout copies —
+    see `_search_chunked`); True/False forces.  Results are identical.
 
     ``rerank_width``: keep this many candidates (>= k) through the merge
     and supercharge stages instead of k, reducing to k only at the very
@@ -422,14 +561,25 @@ def search(
 
         queries = prepare_points(jnp.asarray(queries, index.bases.dtype), index.metric)
     m = queries.shape[0]
+    P = index.d_short + 1 if n_probes is None else n_probes
+    if chunked is None:
+        big = (
+            index.n * index.d * jnp.dtype(index.bases.dtype).itemsize
+            + index.tables.size * 4 + index.graph.size * 4
+        ) > _ONE_SHOT_MAX_BYTES
+        chunked = bool(big) and index.d_short > 0
     if block_rows is None:
-        P = index.d_short + 1 if n_probes is None else n_probes
-        ltot = index.tries * P * index.tmax
+        ltot = (1 if chunked else index.tries) * P * index.tmax
         block_rows = pick_block(
             m, ltot, index.d, jnp.dtype(index.bases.dtype).itemsize, budget_bytes
         )
     points = _as_corpus(points, index.bases.dtype)
     queries = jnp.asarray(queries, index.bases.dtype)
+    if chunked:
+        return _search_chunked(
+            index, points, queries, block_rows=block_rows, n_probes=n_probes,
+            supercharge_rounds=supercharge_rounds, rerank_width=rerank_width,
+        )
     return _search_jit(index, points, queries, block_rows=block_rows,
                        n_probes=n_probes,
                        supercharge_rounds=supercharge_rounds,

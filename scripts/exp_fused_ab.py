@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+", default=[1000, 100])
     ap.add_argument("--windows", type=int, nargs="+", default=[32, 64, 96])
     ap.add_argument("--n-probes", type=int, default=18)
+    ap.add_argument("--rerank", type=int, nargs="*", default=[30, 50],
+                    help="rerank_width values to bench on the fused path "
+                         "(widest window)")
     ap.add_argument("--free-corpus", action="store_true",
                     help="stage the corpus to the packed dtype and free the "
                          "f32 copy before packing (10M: f32 corpus + packed "
@@ -136,6 +139,12 @@ def main():
                       lambda w=w, bq=bq: ann.search_packed_fused(
                           pv, X, Yb, n_probes=P, window=w,
                           query_block=bq), batch)
+        for rw in args.rerank:
+            bench(f"FUSED w={args.windows[-1]} P={P} rerank={rw}",
+                  lambda rw=rw: ann.search_packed_fused(
+                      pv, X, Yb, n_probes=P, window=args.windows[-1],
+                      query_block=args.query_block[0], rerank_width=rw),
+                  batch)
         if not args.free_corpus:
             # exact_search upcasts the corpus to f32 — skipped in the
             # staged-bf16 regime (10M exact f32 is measured separately:

@@ -129,6 +129,22 @@ class TestSearch:
         s = score_guesses(X, Y, np.asarray(ids), 10)
         assert s.prob_correct > 0.75, str(s)
 
+    def test_chunked_driver_matches_one_shot(self, built, default_data):
+        # the host-chunked driver (auto-selected for huge corpora where the
+        # monolithic program's remat layout copies OOM) must be an exact
+        # semantic match for the one-shot jit: per-table top-kk + dedup
+        # merge == union top-kk
+        X, Y = default_data
+        idx, _, _ = built
+        for kw in ({}, {"n_probes": 4}, {"rerank_width": 25},
+                   {"supercharge_rounds": 2}):
+            i0, d0 = ann.search(idx, X, Y, chunked=False, **kw)
+            i1, d1 = ann.search(idx, X, Y, chunked=True, **kw)
+            np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+            np.testing.assert_allclose(
+                np.asarray(d0), np.asarray(d1), rtol=1e-5
+            )
+
     def test_query_dists_sorted_and_true(self, built, default_data):
         X, Y = default_data
         idx, _, _ = built

@@ -121,3 +121,40 @@ def test_fused_window_override(setup):
         return np.mean([len(set(g[i]) & set(tq[i])) / 8 for i in range(len(g))])
 
     assert rec(ids_big) >= rec(ids_small)  # window is the depth/recall knob
+
+
+def test_fused_rerank_width(setup):
+    """rerank_width widens the kernel's per-table top-k and the merged
+    pool (same lever as search(rerank_width=...)); recall must be
+    monotone-ish and output contract unchanged."""
+    X, Y, index, pv = setup
+    tq, _ = ann.brute_force_knn(X, Y, 8)
+    tq = np.asarray(tq)
+
+    def rec(ids):
+        g = np.asarray(ids)
+        return np.mean([len(set(g[i]) & set(tq[i])) / 8 for i in range(len(g))])
+
+    ids0, dd0 = search_packed_fused(pv, queries=Y, interpret=True)
+    ids_w, dd_w = search_packed_fused(pv, queries=Y, interpret=True,
+                                      rerank_width=24)
+    assert ids_w.shape == ids0.shape == (37, 8)
+    d = np.asarray(dd_w)
+    fin = np.isfinite(d)
+    assert (np.diff(np.where(fin, d, np.inf), axis=1) >= -1e-6)[fin[:, 1:]].all()
+    assert rec(ids_w) >= rec(ids0) - 1e-9  # wider pool never hurts here
+
+
+def test_packed_rerank_width(setup):
+    X, Y, index, pv = setup
+    tq, _ = ann.brute_force_knn(X, Y, 8)
+    tq = np.asarray(tq)
+
+    def rec(ids):
+        g = np.asarray(ids)
+        return np.mean([len(set(g[i]) & set(tq[i])) / 8 for i in range(len(g))])
+
+    ids0, _ = ann.search_packed(pv, queries=Y)
+    ids_w, _ = ann.search_packed(pv, queries=Y, rerank_width=24)
+    assert ids_w.shape == ids0.shape
+    assert rec(ids_w) >= rec(ids0) - 1e-9
