@@ -290,7 +290,13 @@ def search_packed_impl(pi: PackedIndex, points, queries, block_rows: int,
             safe = jnp.where(t1 < n, t1, 0)
             exp = jnp.where((t1 < n)[..., None], pi.graph[safe], n)
             cand2 = jnp.concatenate([t1, exp.reshape(-1, kk * k)], axis=-1)
-            dd2 = candidate_dists(qb, points, exp.reshape(-1, kk * k))
+            # the corpus may be a stage_points buffer ((n+1, lane_dim) with
+            # a +inf sentinel row): zero query lanes add 0, and its extra
+            # row only widens candidate_dists' validity bound to admit the
+            # sentinel id — whose +inf row yields +inf anyway
+            qd = qb if points.shape[1] == d else jnp.pad(
+                qb, [(0, 0), (0, points.shape[1] - d)])
+            dd2 = candidate_dists(qd, points, exp.reshape(-1, kk * k))
             dd2 = jnp.concatenate([td1, dd2], axis=-1)
             t1, td1 = dedup_topk(cand2, dd2, kk, n)
         if kk != k:
@@ -377,7 +383,11 @@ def search_packed_fused_impl(pi: PackedIndex, points, queries,
         safe = jnp.where(t1 < n, t1, 0)
         exp = jnp.where((t1 < n)[..., None], pi.graph[safe], n)
         cand2 = jnp.concatenate([t1, exp.reshape(-1, kk * k)], axis=-1)
-        dd2 = candidate_dists(q, points, exp.reshape(-1, kk * k))
+        # staged-corpus support, as in search_packed_impl: lane-pad the
+        # query; the buffer's sentinel row is +inf so dists stay correct
+        qd = q if points.shape[1] == d else jnp.pad(
+            q, [(0, 0), (0, points.shape[1] - d)])
+        dd2 = candidate_dists(qd, points, exp.reshape(-1, kk * k))
         dd2 = jnp.concatenate([td1, dd2], axis=-1)
         t1, td1 = dedup_topk(cand2, dd2, kk, n)
     if kk != k:

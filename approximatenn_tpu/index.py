@@ -295,6 +295,10 @@ class ANNIndex:
         storage-dtype values (sign flips on near-zero projections are
         possible but self-consistent — the CSR starts match the packed
         order, and query-side codes come from the query pipeline).
+        With ``store_points=True`` the staging buffer itself is kept as the
+        view's corpus: the packed search paths lane-pad queries and treat
+        the +inf sentinel row correctly, so supercharge/rerank run against
+        it directly — no second corpus resident (the 10M serving budget).
         """
         if points is None:
             points = self.points
@@ -359,7 +363,7 @@ class ANNIndex:
             ids=ids,
             starts=starts,
             graph=self.graph,
-            points=points if store_points and not staged else None,
+            points=points if store_points else None,
             n=n, k=self.k, d=d, d_short=self.d_short,
             tries=self.tries, window=window, super_width=w,
             metric=self.metric, d_pad=d_pad,

@@ -109,6 +109,31 @@ def test_packed_staged_equals_direct(built):
     np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_d))
 
 
+def test_packed_staged_self_contained(built):
+    """A staged view with store_points=True serves supercharge/rerank from
+    the staging buffer itself (lane-padded, +inf sentinel row) — no second
+    corpus resident (the 10M single-chip serving budget).  Results match
+    serving the same view against the raw corpus."""
+    from approximatenn_tpu.index import stage_points
+
+    X, Y, index, true_ids = built
+    staged = index.packed(stage_points(X), staged=True, store_points=True)
+    assert staged.points is not None
+    assert staged.points.shape == (index.n + 1, staged.lane_dim)
+    ids_self, d_self = ann.search_packed(staged, Y, supercharge_rounds=2,
+                                         rerank_width=3 * index.k)
+    ids_raw, d_raw = ann.search_packed(staged, X, Y, supercharge_rounds=2,
+                                       rerank_width=3 * index.k)
+    np.testing.assert_array_equal(np.asarray(ids_self), np.asarray(ids_raw))
+    np.testing.assert_allclose(np.asarray(d_self), np.asarray(d_raw),
+                               rtol=1e-5, atol=1e-5)
+    ids_f, _ = ann.search_packed_fused(staged, Y, interpret=True,
+                                       supercharge_rounds=2)
+    ids_fr, _ = ann.search_packed_fused(staged, X, Y, interpret=True,
+                                        supercharge_rounds=2)
+    np.testing.assert_array_equal(np.asarray(ids_f), np.asarray(ids_fr))
+
+
 def test_packed_bf16_storage(built):
     X, Y, index, true_ids = built
     pi = index.packed(X, dtype=jnp.bfloat16)
