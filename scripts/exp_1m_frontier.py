@@ -43,7 +43,7 @@ def main():
     ds = datasets.load("sift-1m")  # deterministic stand-in (seed pinned)
     import jax.numpy as jnp
 
-    X = jnp.asarray(ds.points)
+    X = jnp.asarray(ds.base)
     Y = jnp.asarray(ds.queries[: args.batch])
     fence([X, Y])
     tq, _ = ann.exact_search(X, Y, k)

@@ -83,23 +83,19 @@ def main():
 
         # f32 corpus + packed buffer exceed HBM together at 10M: stage to
         # the storage dtype, free the f32 corpus, pack from the staging
-        # buffer, then re-synthesize the (deterministic) corpus for the
-        # search benches
+        # buffer, and keep the staging buffer as the view's own corpus
+        # (store_points=True) — supercharge/rerank run against it directly
         Xs = stage_points(X, pdt)
         fence([Xs])
         del X
         pv = index.packed(Xs, super_width=args.super_width, staged=True,
-                          store_points=False)
+                          store_points=True)
         fence([pv.point_rows])
-        # serve from the storage-dtype corpus: the search wrappers keep a
-        # bf16 corpus as stored (supercharge gathers upcast per-block), so
-        # the f32 copy never has to coexist with the packed buffer
-        X = Xs[:n, :d]
-        fence([X])
         del Xs
+        X = None  # packed paths serve from pv.points; table/exact skipped
     else:
         pv = index.packed(X, super_width=args.super_width, dtype=pdt,
-                          store_points=False)
+                          store_points=True)  # a reference, not a copy
     fence([pv.point_rows])
     print(json.dumps({"stage": "packed",
                       "packed_gb": round(pv.memory_bytes() / 2**30, 2),
@@ -128,21 +124,22 @@ def main():
     P = args.n_probes
     for batch in args.batches:
         Yb = Y[:batch]
-        bench(f"table directed P={P}",
-              lambda: ann.search(index, X, Yb, n_probes=P), batch)
+        if X is not None:
+            bench(f"table directed P={P}",
+                  lambda: ann.search(index, X, Yb, n_probes=P), batch)
         for w in args.windows:
             bench(f"packed-xla w={w} P={P}",
-                  lambda w=w: ann.search_packed(pv.with_window(w), X, Yb,
+                  lambda w=w: ann.search_packed(pv.with_window(w), Yb,
                                                 n_probes=P), batch)
             for bq in args.query_block:
                 bench(f"FUSED w={w} P={P} bq={bq}",
                       lambda w=w, bq=bq: ann.search_packed_fused(
-                          pv, X, Yb, n_probes=P, window=w,
+                          pv, Yb, n_probes=P, window=w,
                           query_block=bq), batch)
         for rw in args.rerank:
             bench(f"FUSED w={args.windows[-1]} P={P} rerank={rw}",
                   lambda rw=rw: ann.search_packed_fused(
-                      pv, X, Yb, n_probes=P, window=args.windows[-1],
+                      pv, Yb, n_probes=P, window=args.windows[-1],
                       query_block=args.query_block[0], rerank_width=rw),
                   batch)
         if not args.free_corpus:
