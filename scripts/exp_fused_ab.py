@@ -34,7 +34,10 @@ def main():
     ap.add_argument("--query-block", type=int, nargs="+", default=[16])
     ap.add_argument("--batches", type=int, nargs="+", default=[1000, 100])
     ap.add_argument("--windows", type=int, nargs="+", default=[32, 64, 96])
-    ap.add_argument("--n-probes", type=int, default=18)
+    ap.add_argument("--n-probes", type=int, nargs="+", default=[18])
+    ap.add_argument("--supercharge-rounds", type=int, default=1)
+    ap.add_argument("--skip-xla", action="store_true",
+                    help="skip the packed-xla rows (fused-only sweeps)")
     ap.add_argument("--rerank", type=int, nargs="*", default=[30, 50],
                     help="rerank_width values to bench on the fused path "
                          "(widest window)")
@@ -73,7 +76,7 @@ def main():
 
     t0 = time.perf_counter()
     index, graph, gd = ann.build(X, k, tries=args.tries, seed=7, capacity=cap,
-                                 n_probes=args.n_probes)
+                                 n_probes=args.n_probes[0])
     fence([graph])
     del gd, graph  # free gdists (n x k f32, 0.4 GB at 10M); graph lives on index
     print(json.dumps({"stage": "build", "s": round(time.perf_counter() - t0, 1),
@@ -121,27 +124,30 @@ def main():
             "ms_per_batch": round(dt * 1e3, 2), "recall_at_10": round(rec, 4),
         }), flush=True)
 
-    P = args.n_probes
+    sr = args.supercharge_rounds
     for batch in args.batches:
         Yb = Y[:batch]
-        if X is not None:
-            bench(f"table directed P={P}",
-                  lambda: ann.search(index, X, Yb, n_probes=P), batch)
-        for w in args.windows:
-            bench(f"packed-xla w={w} P={P}",
-                  lambda w=w: ann.search_packed(pv.with_window(w), Yb,
-                                                n_probes=P), batch)
-            for bq in args.query_block:
-                bench(f"FUSED w={w} P={P} bq={bq}",
-                      lambda w=w, bq=bq: ann.search_packed_fused(
-                          pv, Yb, n_probes=P, window=w,
-                          query_block=bq), batch)
-        for rw in args.rerank:
-            bench(f"FUSED w={args.windows[-1]} P={P} rerank={rw}",
-                  lambda rw=rw: ann.search_packed_fused(
-                      pv, Yb, n_probes=P, window=args.windows[-1],
-                      query_block=args.query_block[0], rerank_width=rw),
-                  batch)
+        for P in args.n_probes:
+            if X is not None:
+                bench(f"table directed P={P}",
+                      lambda P=P: ann.search(index, X, Yb, n_probes=P), batch)
+            for w in args.windows:
+                if not args.skip_xla:
+                    bench(f"packed-xla w={w} P={P}",
+                          lambda w=w, P=P: ann.search_packed(
+                              pv.with_window(w), Yb, n_probes=P), batch)
+                for bq in args.query_block:
+                    bench(f"FUSED w={w} P={P} bq={bq} sr={sr}",
+                          lambda w=w, bq=bq, P=P: ann.search_packed_fused(
+                              pv, Yb, n_probes=P, window=w, query_block=bq,
+                              supercharge_rounds=sr), batch)
+            for rw in args.rerank:
+                bench(f"FUSED w={args.windows[-1]} P={P} rerank={rw} sr={sr}",
+                      lambda rw=rw, P=P: ann.search_packed_fused(
+                          pv, Yb, n_probes=P, window=args.windows[-1],
+                          query_block=args.query_block[0], rerank_width=rw,
+                          supercharge_rounds=sr),
+                      batch)
         if not args.free_corpus:
             # exact_search upcasts the corpus to f32 — skipped in the
             # staged-bf16 regime (10M exact f32 is measured separately:
