@@ -40,34 +40,47 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import itype
 
+# Mosaic compile fails outright with too many concurrently in-flight DMA
+# copies (one semaphore each): 512 reproducibly 500s, 384 passes
+# (scripts/dbg_probe_compile.py, real-TPU compiles only — interpret mode
+# does not catch it).  Stay at the measured-good point.
+_DMA_INFLIGHT_MAX = 384
+
 
 def _kernel(q_ref, ss_ref, sv_ref, pts_hbm, out_p_ref, out_d_ref, win, sems,
-            *, k: int, n: int, n_pad: int, window: int, P: int, bq: int):
+            *, k: int, n: int, n_pad: int, window: int, P: int, bq: int,
+            P_wave: int):
     t = pl.program_id(1)
 
     # one DMA per (query, probe): the probe's CSR window, direct from HBM.
-    # All bq*P copies are issued before any wait so they pipeline against
-    # each other (DMA engines run ahead of the scalar core).
+    # Copies are issued in waves of bq * P_wave (caller caps it at
+    # _DMA_INFLIGHT_MAX) with all of a wave's copies started before any
+    # wait, so they pipeline against each other (DMA engines run ahead of
+    # the scalar core).  Too many in-flight copies/semaphores fails
+    # Mosaic compilation outright (HTTP 500 from the compile helper;
+    # measured: 512 fails, 384 passes — scripts/dbg_probe_compile.py).
     # ss_ref holds starts PRE-DIVIDED by 8: HBM memrefs are (8,128)-tiled
     # and Mosaic must PROVE the dim-0 slice start is 8-divisible — a raw
     # dynamic CSR offset fails that proof ("Failed to prove that a tile
     # index in dimension 0 is divisible by the tiling (8)"), while
     # ``s8 * 8 + t * n_pad`` is provable (n_pad % 8 == 0 by packed()'s
     # construction, asserted by the caller).
-    def copy(qq, p):
+    def copy(qq, p, p0):
         s = ss_ref[qq, t, p] * 8
         return pltpu.make_async_copy(
             pts_hbm.at[pl.ds(t * n_pad + s, window), :],
             win.at[qq, pl.ds(p * window, window), :],
-            sems.at[qq, p],
+            sems.at[qq, p - p0],
         )
 
-    for qq in range(bq):
-        for p in range(P):
-            copy(qq, p).start()
-    for qq in range(bq):
-        for p in range(P):
-            copy(qq, p).wait()
+    for p0 in range(0, P, P_wave):
+        p1 = min(p0 + P_wave, P)
+        for qq in range(bq):
+            for p in range(p0, p1):
+                copy(qq, p, p0).start()
+        for qq in range(bq):
+            for p in range(p0, p1):
+                copy(qq, p, p0).wait()
 
     qv = q_ref[:].astype(jnp.float32)  # (bq, d)
     w = win[:].astype(jnp.float32)  # (bq, L, d), L = P*window
@@ -153,15 +166,24 @@ def probe_topk_pallas(
     window = min(-(-(window + 7) // 8) * 8, n_pad)
     starts = jnp.clip(starts // 8, 0, (n_pad - window) // 8)
     bq = min(query_block, m)
+    # The query block is a VMEM BlockSpec tile: its sublane dim must be
+    # 8-divisible (or equal to the whole array) — bq = 12 fails Mosaic's
+    # block-shape check even though 8 and 16 pass.
+    if bq >= 8:
+        bq -= bq % 8
     # auto-shrink the query tile so the kernel's VMEM tenants fit: the
     # window scratch (bq,L,d in the point dtype), the f32 diff tensor the
     # VPU pass materializes, and the dd/pos planes.  Oversized tiles fail
     # Mosaic compilation outright (observed at bq=64, L=1152, d=128).
     csize = jnp.dtype(pts_flat.dtype).itemsize
-    while bq > 1 and P * window * d * (csize + 4) * bq + 8 * P * window * bq * 4 > (
+    while bq > 8 and P * window * d * (csize + 4) * bq + 8 * P * window * bq * 4 > (
         88 << 20
     ):
         bq //= 2
+    # cap concurrent DMAs: >~448 in-flight copies (the (bq, P_wave)
+    # semaphore array) fails Mosaic compilation (measured threshold —
+    # see _kernel); issue probe windows in waves when bq * P exceeds it.
+    P_wave = max(1, _DMA_INFLIGHT_MAX // bq)
     nq_blocks = math.ceil(m / bq)
     mp = nq_blocks * bq
     if mp != m:
@@ -171,7 +193,8 @@ def probe_topk_pallas(
     cdt = pts_flat.dtype
 
     kernel = functools.partial(
-        _kernel, k=k, n=n, n_pad=n_pad, window=window, P=P, bq=bq
+        _kernel, k=k, n=n, n_pad=n_pad, window=window, P=P, bq=bq,
+        P_wave=P_wave,
     )
     out_p, out_d = pl.pallas_call(
         kernel,
@@ -204,7 +227,7 @@ def probe_topk_pallas(
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, L, d), cdt),
-            pltpu.SemaphoreType.DMA((bq, P)),
+            pltpu.SemaphoreType.DMA((bq, min(P, P_wave))),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(

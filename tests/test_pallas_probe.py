@@ -82,6 +82,44 @@ def test_kernel_matches_oracle(setup):
     np.testing.assert_array_equal(got, want)
 
 
+def test_kernel_wave_and_alignment_envelope(setup):
+    """Compile-envelope regressions (round 2): many probes force multiple
+    DMA waves (P > _DMA_INFLIGHT_MAX / bq) and a non-8-multiple
+    query_block must shrink to an (8,128)-tileable tile, not ship as-is.
+    Interpret mode exercises the wave indexing; the real-TPU compile side
+    is covered by scripts/dbg_probe_compile.py (512 in-flight DMAs and
+    bq=12 both fail Mosaic outright)."""
+    X, Y, index, pv = setup
+    rng = np.random.default_rng(5)
+    n_pad = pv.n_rows * pv.super_width
+    window = 16
+    P = 60  # bq=8, P_wave=48 -> two waves
+    m = Y.shape[0]
+    starts = jnp.asarray(
+        rng.integers(0, max(1, (n_pad - window) // 8), (m, pv.tries, P)) * 8,
+        jnp.int32,
+    )
+    pts_flat = pv.point_rows.reshape(pv.tries * n_pad, pv.lane_dim)
+    Yp = jnp.pad(Y, [(0, 0), (0, pv.lane_dim - pv.d)])
+    pos, dd = probe_topk_pallas(
+        pts_flat, Yp, starts, k=pv.k, n=pv.n, n_pad=n_pad, window=window,
+        query_block=12, interpret=True,  # 12 must internally become 8
+    )
+    # the kernel always widens to window+7 rounded up to 8 (covers the
+    # floor-to-8 of unaligned starts); these starts are pre-aligned, so
+    # the extra tail slots are real candidates the oracle must also read
+    win_al = min(-(-(window + 7) // 8) * 8, n_pad)
+    starts_al = jnp.clip(starts, 0, n_pad - win_al)
+    opos, odd = _oracle_positions(pv, Y, starts_al, win_al, pv.k)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(dd), -1), np.sort(np.asarray(odd), -1),
+        rtol=1e-5, atol=1e-5,
+    )
+    got = np.sort(np.where(np.isinf(np.asarray(dd)), pv.n, np.asarray(pos)), -1)
+    want = np.sort(np.where(np.isinf(np.asarray(odd)), pv.n, np.asarray(opos)), -1)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_fused_end_to_end_recall(setup):
     X, Y, index, pv = setup
     ids_f, dd_f = search_packed_fused(pv, queries=Y, interpret=True)
