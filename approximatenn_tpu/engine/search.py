@@ -270,11 +270,19 @@ def search_packed_impl(pi: PackedIndex, points, queries, block_rows: int,
         pos = (rows[..., None] * w + lane).reshape(B, tries, -1)  # (B,T,Lt)
         flat = (pos + slot_off).reshape(B, -1)  # (B, tries*P*rpp*w)
         pc = pi.point_rows[flat].reshape(B, tries, -1, dp)  # (B, T, Lt, dp)
-        qbp = qb.astype(cdtype)
+        if pi.scale is not None:
+            # int8 tier: rank in the quantized domain (q / scale vs the
+            # stored int8 rows, which promote to f32 in the subtract),
+            # then restore the true scale — same contract as the fused path
+            qbp = qb.astype(jnp.float32) / pi.scale
+        else:
+            qbp = qb.astype(cdtype)
         if dp != d:  # zero pad lanes contribute 0 to the distance
             qbp = jnp.pad(qbp, [(0, 0), (0, dp - d)])
         diff = qbp[:, None, None, :] - pc
         dd = jnp.sum(diff * diff, axis=-1).astype(dtype)  # (B, T, Lt)
+        if pi.scale is not None:
+            dd = dd * (pi.scale * pi.scale).astype(dd.dtype)
         # slots >= n are the packed tail padding (pack_table places all n
         # real points first), so the sentinel mask is purely positional
         dd = jnp.where(pos < n, dd, jnp.asarray(jnp.inf, dd.dtype))
@@ -283,9 +291,18 @@ def search_packed_impl(pi: PackedIndex, points, queries, block_rows: int,
         gpos = tpos + (jnp.arange(tries, dtype=itype) * n_pad)[None, :, None]
         wids = ids_flat[jnp.minimum(gpos, ids_flat.shape[0] - 1)]
         wids = jnp.where(jnp.isinf(tdist), n, wids)
+        # tombstoned slots carry sentinel id n at FINITE distance under
+        # int8 storage (no +inf row encoding) — re-assert the invariant
+        tdist = jnp.where(wids == n, jnp.asarray(jnp.inf, tdist.dtype), tdist)
         t1, td1 = dedup_topk(
             wids.reshape(B, -1), tdist.reshape(B, -1), kk, n
         )
+        if pi.scale is not None:
+            # quantized ranking is ~7-bit: re-score the merged pool against
+            # the float corpus so ordering and supercharge seeds are exact
+            qd0 = qb if points.shape[1] == d else jnp.pad(
+                qb, [(0, 0), (0, points.shape[1] - d)])
+            t1, td1 = dedup_topk(t1, candidate_dists(qd0, points, t1), kk, n)
         for _ in range(supercharge_rounds):
             safe = jnp.where(t1 < n, t1, 0)
             exp = jnp.where((t1 < n)[..., None], pi.graph[safe], n)
@@ -368,16 +385,36 @@ def search_packed_fused_impl(pi: PackedIndex, points, queries,
     # relayout copy when rows were stored wide)
     pts_flat = pi.point_rows
     qp = q if dp == d else jnp.pad(q, [(0, 0), (0, dp - d)])
+    if pi.scale is not None:
+        # int8 tier: the kernel ranks in the quantized domain (rows are
+        # round(x / scale)); feeding q / scale keeps ||q/s - x/s||^2 =
+        # dd / s^2 monotone with the true distances, and one multiply
+        # restores the real scale afterwards — no scale inside the kernel
+        qp = qp.astype(jnp.float32) / pi.scale
     pos, dd = probe_topk_pallas(
         pts_flat, qp, start, k=kk, n=n, n_pad=n_pad, window=window,
         query_block=query_block, interpret=interpret,
     )  # (m, tries, kk) within-table slots + dists
+    if pi.scale is not None:
+        dd = dd * (pi.scale * pi.scale)
 
     ids_flat = pi.ids.reshape(-1)
     gpos = pos + (jnp.arange(tries, dtype=itype) * n_pad)[None, :, None]
     wids = ids_flat[jnp.minimum(gpos, ids_flat.shape[0] - 1)]
     wids = jnp.where(jnp.isinf(dd), n, wids)
+    # tombstoned slots carry sentinel id n but a FINITE distance under int8
+    # storage (no +inf encoding) — re-assert the global sentinel invariant
+    dd = jnp.where(wids == n, jnp.inf, dd)
     t1, td1 = dedup_topk(wids.reshape(m, -1), dd.reshape(m, -1), kk, n)
+
+    if pi.scale is not None:
+        # the quantized ranking is only ~7-bit accurate: re-score the
+        # merged pool against the float corpus (one tiny gather — the
+        # pool is kk ids/query) so ordering, rerank cuts and supercharge
+        # seeds use true distances
+        qd0 = q if points.shape[1] == d else jnp.pad(
+            q, [(0, 0), (0, points.shape[1] - d)])
+        t1, td1 = dedup_topk(t1, candidate_dists(qd0, points, t1), kk, n)
 
     for _ in range(supercharge_rounds):
         safe = jnp.where(t1 < n, t1, 0)

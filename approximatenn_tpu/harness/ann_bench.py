@@ -58,12 +58,11 @@ def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto",
     skw = dict(n_probes=n_probes)
     if supercharge_rounds != 1:
         skw["supercharge_rounds"] = supercharge_rounds
-    if not packed and rerank_width is not None:
+    if rerank_width is not None:
         skw["rerank_width"] = rerank_width
     if packed:
-        pdt = {"bf16": jnp.bfloat16, "f32": jnp.float32, None: None}.get(
-            packed_dtype, packed_dtype
-        )
+        pdt = {"bf16": jnp.bfloat16, "f32": jnp.float32, "int8": jnp.int8,
+               None: None}.get(packed_dtype, packed_dtype)
         pview = index.packed(
             Xd if index.points is None else None,
             window=window, super_width=super_width, dtype=pdt,
@@ -119,11 +118,11 @@ def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto",
         "layout": ("packed-fused" if fused else "packed") if packed else "table",
         "supercharge_rounds": supercharge_rounds,
         **({"rerank_width": rerank_width}
-           if not packed and rerank_width is not None else {}),
+           if rerank_width is not None else {}),
         **(
             {"window": pview.window, "super_width": pview.super_width,
              "packed_dtype": {None: "float32", "f32": "float32",
-                              "bf16": "bfloat16"}[packed_dtype]}
+                              "bf16": "bfloat16", "int8": "int8"}[packed_dtype]}
             if packed else {}
         ),
     }
@@ -156,19 +155,16 @@ def main(argv=None) -> int:
                    help="packed per-probe read depth in points (default tmax)")
     p.add_argument("--super-width", type=int, default=16,
                    help="packed super-row width in points")
-    p.add_argument("--packed-dtype", default=None, choices=[None, "f32", "bf16"],
-                   help="packed vector storage dtype")
+    p.add_argument("--packed-dtype", default=None,
+                   choices=[None, "f32", "bf16", "int8"],
+                   help="packed vector storage dtype (int8 = quantized "
+                        "tier, scale kept on the view)")
     p.add_argument("--supercharge-rounds", type=int, default=1,
                    help="graph-expansion rounds at query time (reference: 1)")
     p.add_argument("--rerank-width", type=int, default=None,
                    help="keep this many candidates (>= k) through merge + "
                         "supercharge, reduce to k at the end (recall knob)")
     args = p.parse_args(argv)
-    if args.packed and args.supercharge_rounds != 1:
-        p.error("--packed always runs exactly 1 supercharge round; "
-                "--supercharge-rounds applies to the table layout only")
-    if args.packed and args.rerank_width is not None:
-        p.error("--rerank-width applies to the table layout only")
     if args.fused and not args.packed:
         p.error("--fused requires --packed (it serves the packed view)")
     cap = {"auto": "auto", "exact": None}.get(args.capacity, args.capacity)

@@ -76,6 +76,23 @@ def _storage_points(points, dtype, d_pad):
     return jnp.concatenate([pts, jnp.full((1, d_pad), jnp.inf, dtype)])
 
 
+@partial(jax.jit, static_argnames=("d_pad",))
+def _quantize_points(points, scale, d_pad):
+    """(n, d) float -> (n + 1, d_pad) int8 storage copy: symmetric
+    quantization ``round(x / scale)`` clipped to [-127, 127] (scale a ()
+    f32 scalar, computed by the caller as max|x| / 127 so the grid covers
+    the corpus).  int8 has no +inf, so the sentinel row stores zeros —
+    sentinel slots are instead excluded AFTER the distance pass via the id
+    map (id == n -> +inf), see ``search_packed_fused_impl``.  Lane padding
+    is zero like the float form (distance-neutral)."""
+    n, d = points.shape
+    q = jnp.clip(jnp.round(points.astype(jnp.float32) / scale), -127, 127)
+    q = q.astype(jnp.int8)
+    if d_pad != d:
+        q = jnp.pad(q, [(0, 0), (0, d_pad - d)])
+    return jnp.concatenate([q, jnp.zeros((1, d_pad), jnp.int8)])
+
+
 @jax.jit
 def _packed_rows(pts_s, ids):
     """Gather packed rows: (tries, n_pad) slot ids -> (tries*n_pad, d_pad).
@@ -284,6 +301,12 @@ class ANNIndex:
         ``dtype``: storage dtype of the packed vectors (default: the index
         float dtype; ``jnp.bfloat16`` halves gather bandwidth, distances are
         then bf16-accurate — rerank externally if that matters).
+        ``jnp.int8`` quantizes symmetrically (scale = max|x| / 127, kept on
+        the view) — a quarter of f32 bytes per slot, so at an HBM-bound
+        operating point it buys either ~2x fused-kernel read speed over
+        bf16 or twice the ``tries`` replication; candidate ranking is then
+        ~7-bit accurate, so pair it with ``rerank_width`` + a float corpus
+        (``points``/staged buffer) to restore exact top-k ordering.
         ``points``: the build-time point matrix (or None to use stored).
         ``store_points`` keeps the raw points on the view for supercharge +
         serving convenience.
@@ -313,8 +336,15 @@ class ANNIndex:
         window = max(1, int(window))
         w = max(1, int(super_width))
         d = int(self.bases.shape[2]) if staged else points.shape[1]
+        quantize = dtype is not None and jnp.dtype(dtype) == jnp.int8
         if staged:
-            dtype = points.dtype
+            if points.dtype == jnp.int8:
+                raise ValueError(
+                    "staged int8 buffers cannot be re-packed (hash codes "
+                    "need the float values); stage to bf16/f32 and pass "
+                    "dtype=jnp.int8"
+                )
+            dtype = jnp.dtype(jnp.int8) if quantize else points.dtype
             n = points.shape[0] - 1
         else:
             dtype = jnp.dtype(points.dtype if dtype is None else dtype)
@@ -324,7 +354,10 @@ class ANNIndex:
         # on TPU, and the fused probe kernel's window DMAs must start at
         # provably 8-aligned row offsets — t * n_pad must be a multiple
         # of 8 for every table index t (ops/pallas_probe.py)
-        lcm8 = math.lcm(w, 8)
+        # int8 rows live in (32, 128)-tiled HBM memrefs: the fused kernel's
+        # window-DMA offset proof needs 32-divisible per-table strides (the
+        # float tiers need 8) — see ops/pallas_probe.py ALIGN
+        lcm8 = math.lcm(w, 32 if quantize else 8)
         n_pad = -(-(n + 1) // lcm8) * lcm8
         from .ops.buckets import pack_tables
 
@@ -353,7 +386,13 @@ class ANNIndex:
             is_dead = self.dead[jnp.clip(ids, 0, n)]
             ids = jnp.where(is_dead, n, ids)
         d_pad = -(-d // 128) * 128
-        pts_s = points if staged else _storage_points(points, dtype, d_pad)
+        scale = None
+        if quantize:
+            src = points[:-1] if staged else points
+            scale = jnp.max(jnp.abs(src.astype(jnp.float32))) / 127.0
+            pts_s = _quantize_points(src, scale, d_pad)
+        else:
+            pts_s = points if staged else _storage_points(points, dtype, d_pad)
         rows = _packed_rows(pts_s, ids)
         del pts_s  # free the (n+1, d_pad) staging copy before returning
         return PackedIndex(
@@ -364,6 +403,7 @@ class ANNIndex:
             starts=starts,
             graph=self.graph,
             points=points if store_points else None,
+            scale=scale,
             n=n, k=self.k, d=d, d_short=self.d_short,
             tries=self.tries, window=window, super_width=w,
             metric=self.metric, d_pad=d_pad,
@@ -469,6 +509,11 @@ class PackedIndex:
     # distance-neutral against zero-padded queries).  0 = legacy views
     # packed before lane padding existed (lane dim == d).
     d_pad: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # int8 storage tier: () f32 dequantization scale — stored rows are
+    # round(x / scale) in [-127, 127], so true squared distances =
+    # kernel-domain distances * scale^2 (queries enter as q / scale).
+    # None for float tiers.
+    scale: Any = None
 
     @property
     def lane_dim(self) -> int:
@@ -536,6 +581,8 @@ class PackedIndex:
         )
         if self.points is not None:
             arrays["points"] = np.asarray(self.points)
+        if self.scale is not None:
+            arrays["scale"] = np.asarray(self.scale, np.float32)
         np.savez_compressed(path, **arrays)
 
     @classmethod
@@ -554,6 +601,7 @@ class PackedIndex:
             starts=jnp.asarray(z["starts"]),
             graph=jnp.asarray(z["graph"]),
             points=jnp.asarray(z["points"]) if "points" in z else None,
+            scale=jnp.asarray(z["scale"]) if "scale" in z else None,
             n=n, k=k, d=d, d_short=d_short, tries=tries, window=window,
             super_width=w, metric=str(z["metric"]), d_pad=d_pad,
         )

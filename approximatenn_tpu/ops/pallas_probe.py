@@ -49,7 +49,7 @@ _DMA_INFLIGHT_MAX = 384
 
 def _kernel(q_ref, ss_ref, sv_ref, pts_hbm, out_p_ref, out_d_ref, win, sems,
             *, k: int, n: int, n_pad: int, window: int, P: int, bq: int,
-            P_wave: int):
+            P_wave: int, align: int):
     t = pl.program_id(1)
 
     # one DMA per (query, probe): the probe's CSR window, direct from HBM.
@@ -59,14 +59,15 @@ def _kernel(q_ref, ss_ref, sv_ref, pts_hbm, out_p_ref, out_d_ref, win, sems,
     # the scalar core).  Too many in-flight copies/semaphores fails
     # Mosaic compilation outright (HTTP 500 from the compile helper;
     # measured: 512 fails, 384 passes — scripts/dbg_probe_compile.py).
-    # ss_ref holds starts PRE-DIVIDED by 8: HBM memrefs are (8,128)-tiled
-    # and Mosaic must PROVE the dim-0 slice start is 8-divisible — a raw
-    # dynamic CSR offset fails that proof ("Failed to prove that a tile
-    # index in dimension 0 is divisible by the tiling (8)"), while
-    # ``s8 * 8 + t * n_pad`` is provable (n_pad % 8 == 0 by packed()'s
-    # construction, asserted by the caller).
+    # ss_ref holds starts PRE-DIVIDED by ``align``: HBM memrefs are
+    # (sublane, 128)-tiled — sublane 8 for 32-bit, 16 for 16-bit, 32 for
+    # 8-bit elements — and Mosaic must PROVE the dim-0 slice start is
+    # tile-divisible: a raw dynamic CSR offset fails that proof ("Failed
+    # to prove that a tile index in dimension 0 is divisible by the
+    # tiling"), while ``sA * align + t * n_pad`` is provable (n_pad %
+    # align == 0 by packed()'s construction, asserted by the caller).
     def copy(qq, p, p0):
-        s = ss_ref[qq, t, p] * 8
+        s = ss_ref[qq, t, p] * align
         return pltpu.make_async_copy(
             pts_hbm.at[pl.ds(t * n_pad + s, window), :],
             win.at[qq, pl.ds(p * window, window), :],
@@ -92,7 +93,7 @@ def _kernel(q_ref, ss_ref, sv_ref, pts_hbm, out_p_ref, out_d_ref, win, sems,
     # windows carry the same pos at the same distance -> dedup by pos.
     # Built as 2D iota + P lane-range selects (Mosaic has no 3D->2D
     # shape cast): lane j of probe p holds start_p + (j - p*window).
-    sv = sv_ref[:, t, :] * 8  # (bq, P) window starts (stored /8) for table t
+    sv = sv_ref[:, t, :] * align  # (bq, P) window starts (/align) for table t
     L = P * window
     j = jax.lax.broadcasted_iota(jnp.int32, (bq, L), 1)
     pos = jnp.zeros((bq, L), jnp.int32)
@@ -143,18 +144,27 @@ def probe_topk_pallas(
     int32 within-table slots ascending by distance — sentinel n where
     exhausted — and squared distances (m, tries, k) f32).
 
-    Each window is widened to an 8-aligned superset [8*(start//8),
-    8*(start//8) + round_up(window+7, 8)) — HBM row DMAs must start at
-    provably 8-aligned offsets (the (8,128) tiling); the <= 7 extra slots
-    on each side are real packed entries that simply join the candidate
-    pool (dedup keeps min-distance copies), so recall can only improve.
+    Each window is widened to an align-aligned superset
+    [align*(start//align), +round_up(window + align - 1, align)) — HBM row
+    DMAs must start at provably aligned offsets (align = 8 for the float
+    tiers, 32 for int8's (32,128) tiling); the extra slots on each side
+    are real packed entries that simply join the candidate pool (dedup
+    keeps min-distance copies), so recall can only improve.
+
+    int8 rows (the quantized tier) are streamed as stored and upcast on
+    the VPU; the caller pre-scales queries by 1/scale and multiplies the
+    returned distances by scale^2 (see ``search_packed_fused_impl``).
     """
     m, d = queries.shape
     tries, P = starts.shape[1], starts.shape[2]
-    if n_pad % 8:
+    # provable window-DMA row alignment: 8 suffices for the float tiers
+    # (measured: f32 and bf16 both compile and run at 8), int8 memrefs are
+    # (32, 128)-tiled so offsets must be provably 32-divisible
+    align = 32 if jnp.dtype(pts_flat.dtype).itemsize == 1 else 8
+    if n_pad % align:
         raise ValueError(
-            f"n_pad={n_pad} must be 8-aligned (repack with "
-            "ANNIndex.packed(); its slot count is lcm(super_width, 8)-"
+            f"n_pad={n_pad} must be {align}-aligned (repack with "
+            "ANNIndex.packed(); its slot count is lcm(super_width, align)-"
             "rounded precisely so per-table HBM offsets stay DMA-alignable)"
         )
     if d % 128 and not interpret:
@@ -163,8 +173,10 @@ def probe_topk_pallas(
             "(Mosaic tiling); repack with ANNIndex.packed(), which zero-"
             "pads the stored lane dim, and pass zero-padded queries"
         )
-    window = min(-(-(window + 7) // 8) * 8, n_pad)
-    starts = jnp.clip(starts // 8, 0, (n_pad - window) // 8)
+    # widen by align-1 (the start rounds DOWN by up to that many slots,
+    # and coverage of [start, start+window) must survive), then round up
+    window = min(-(-(window + align - 1) // align) * align, n_pad)
+    starts = jnp.clip(starts // align, 0, (n_pad - window) // align)
     bq = min(query_block, m)
     # The query block is a VMEM BlockSpec tile: its sublane dim must be
     # 8-divisible (or equal to the whole array) — bq = 12 fails Mosaic's
@@ -192,9 +204,12 @@ def probe_topk_pallas(
     L = P * window
     cdt = pts_flat.dtype
 
+    # int8 rows stream quantized; the query block stays f32 (casting the
+    # query to int8 would destroy it — the caller pre-scales by 1/scale)
+    qdt = jnp.dtype(jnp.float32) if cdt == jnp.int8 else cdt
     kernel = functools.partial(
         _kernel, k=k, n=n, n_pad=n_pad, window=window, P=P, bq=bq,
-        P_wave=P_wave,
+        P_wave=P_wave, align=align,
     )
     out_p, out_d = pl.pallas_call(
         kernel,
@@ -238,5 +253,5 @@ def probe_topk_pallas(
             ),
         ),
         interpret=interpret,
-    )(queries.astype(cdt), starts, starts, pts_flat)
+    )(queries.astype(qdt), starts, starts, pts_flat)
     return out_p[:m].astype(itype), out_d[:m]

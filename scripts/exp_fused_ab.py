@@ -29,7 +29,8 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--tries", type=int, default=10)
     ap.add_argument("--capacity", default="auto")
-    ap.add_argument("--packed-dtype", default=None, choices=[None, "f32", "bf16"])
+    ap.add_argument("--packed-dtype", default=None,
+                    choices=[None, "f32", "bf16", "int8"])
     ap.add_argument("--super-width", type=int, default=2)
     ap.add_argument("--query-block", type=int, nargs="+", default=[16])
     ap.add_argument("--batches", type=int, nargs="+", default=[1000, 100])
@@ -66,7 +67,8 @@ def main():
 
     n, d, nq, k = args.n, args.d, args.nq, args.k
     cap = args.capacity if args.capacity == "auto" else int(args.capacity)
-    pdt = {None: None, "f32": jnp.float32, "bf16": jnp.bfloat16}[args.packed_dtype]
+    pdt = {None: None, "f32": jnp.float32, "bf16": jnp.bfloat16,
+           "int8": jnp.int8}[args.packed_dtype]
 
     X, Y = synth_clustered(n, d, nq)
     fence([X, Y])
@@ -88,11 +90,15 @@ def main():
         # the storage dtype, free the f32 corpus, pack from the staging
         # buffer, and keep the staging buffer as the view's own corpus
         # (store_points=True) — supercharge/rerank run against it directly
-        Xs = stage_points(X, pdt)
+        # int8 cannot be staged directly (quantization needs the float
+        # values for codes + scale): stage to bf16, quantize at pack time
+        stage_dt = jnp.bfloat16 if pdt == jnp.int8 else pdt
+        Xs = stage_points(X, stage_dt)
         fence([Xs])
         del X
         pv = index.packed(Xs, super_width=args.super_width, staged=True,
-                          store_points=True)
+                          store_points=True,
+                          dtype=jnp.int8 if pdt == jnp.int8 else None)
         fence([pv.point_rows])
         del Xs
         X = None  # packed paths serve from pv.points; table/exact skipped

@@ -245,3 +245,74 @@ def test_packed_requires_points():
         ann.search_packed(pi, queries=X[:4])
     ids, _ = ann.search_packed(pi, X, X[:4])
     assert np.asarray(ids).shape == (4, 5)
+
+
+def test_packed_int8_quantized_tier(built):
+    """int8 storage: scale on the view, distances re-scored against the
+    float corpus (so returned distances are TRUE squared L2), recall within
+    a whisker of the float path, tail padding still sentinel."""
+    X, Y, index, true_ids = built
+    pi = index.packed(X, dtype=jnp.int8)
+    assert pi.point_rows.dtype == jnp.int8
+    assert pi.scale is not None and float(pi.scale) > 0
+    # n_pad is 32-aligned for int8 (the fused kernel's DMA offset proof)
+    assert pi.n_pad % 32 == 0
+    ids_q, dists_q = ann.search_packed(pi, X, Y)
+    ids_f, _ = ann.search_packed(index.packed(X), X, Y)
+    rq, rf = _recall(ids_q, true_ids), _recall(ids_f, true_ids)
+    assert rq >= rf - 0.05, (rq, rf)
+    # the post-kernel re-score makes returned distances exact squared L2
+    sample, dd = np.asarray(ids_q[:8]), np.asarray(dists_q[:8])
+    Xn, Yn = np.asarray(X), np.asarray(Y)
+    for r in range(8):
+        for c in range(ids_q.shape[1]):
+            if sample[r, c] < index.n:
+                ref = float(((Yn[r] - Xn[sample[r, c]]) ** 2).sum())
+                assert abs(ref - float(dd[r, c])) < 1e-3 * max(1.0, ref)
+
+
+def test_packed_int8_tombstones(built):
+    """Removed ids must never come back through the int8 view even though
+    int8 has no +inf row encoding (the id-map masking path)."""
+    X, Y, index, _ = built
+    doomed = np.unique(np.asarray(ann.search_packed(
+        index.packed(X, dtype=jnp.int8), X, Y)[0])[:, 0])[:5]
+    idx2 = index.remove_points(jnp.asarray(doomed))
+    pi2 = idx2.packed(X, dtype=jnp.int8)
+    ids2, dd2 = ann.search_packed(pi2, X, Y)
+    got = set(np.asarray(ids2).ravel().tolist())
+    assert not (got & set(doomed.tolist()))
+    assert np.isfinite(np.asarray(dd2[:, 0])).all()
+
+
+def test_packed_int8_save_load(built, tmp_path):
+    X, Y, index, _ = built
+    pi = index.packed(X, dtype=jnp.int8, store_points=False)
+    p = str(tmp_path / "pv_int8.npz")
+    pi.save(p)
+    pi2 = ann.PackedIndex.load(p)
+    assert pi2.point_rows.dtype == jnp.int8
+    assert pi2.scale is not None
+    assert float(pi2.scale) == pytest.approx(float(pi.scale))
+    ids_a, _ = ann.search_packed(pi, X, Y)
+    ids_b, _ = ann.search_packed(pi2, X, Y)
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+
+
+def test_packed_int8_staged(built):
+    """Staged bf16 buffer + dtype=int8 quantizes at pack time and keeps the
+    float staging buffer as the rerank/supercharge corpus (the 10M int8
+    serving budget); staged int8 input is rejected."""
+    from approximatenn_tpu.index import stage_points
+
+    X, Y, index, true_ids = built
+    Xs = stage_points(X, jnp.bfloat16)
+    pi = index.packed(Xs, staged=True, dtype=jnp.int8, store_points=True)
+    assert pi.point_rows.dtype == jnp.int8
+    assert pi.points.dtype == jnp.bfloat16  # the staging buffer itself
+    ids_q, _ = ann.search_packed(pi, queries=Y)
+    rq = _recall(ids_q, true_ids)
+    ids_f, _ = ann.search_packed(index.packed(X), X, Y)
+    assert rq >= _recall(ids_f, true_ids) - 0.05
+    with pytest.raises(ValueError):
+        index.packed(pi.point_rows[: X.shape[0] + 1], staged=True)

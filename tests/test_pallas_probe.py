@@ -196,3 +196,33 @@ def test_packed_rerank_width(setup):
     ids_w, _ = ann.search_packed(pv, queries=Y, rerank_width=24)
     assert ids_w.shape == ids0.shape
     assert rec(ids_w) >= rec(ids0) - 1e-9
+
+
+def test_fused_int8_tier(setup):
+    """int8-quantized rows through the fused kernel (interpret mode):
+    recall stays in the float band (the post-kernel re-score fixes the
+    ~7-bit candidate ranking) and returned distances are TRUE squared L2
+    against the float corpus."""
+    X, Y, index, pv = setup
+    pq = index.packed(super_width=2, dtype=jnp.int8)
+    assert pq.point_rows.dtype == jnp.int8
+    assert (pq.n_rows * pq.super_width) % 32 == 0
+    ids_q, dd_q = search_packed_fused(pq, queries=Y, interpret=True)
+    ids_f, _ = search_packed_fused(pv, queries=Y, interpret=True)
+    tq, _ = ann.brute_force_knn(X, Y, 8)
+    tq = np.asarray(tq)
+
+    def rec(ids):
+        g = np.asarray(ids)
+        return np.mean([len(set(g[i]) & set(tq[i])) / 8 for i in range(len(g))])
+
+    assert rec(ids_q) >= rec(ids_f) - 0.05, (rec(ids_q), rec(ids_f))
+    got = np.asarray(ids_q)
+    fin = got < X.shape[0]
+    d2 = np.asarray(
+        jnp.sum((X[np.where(fin, got, 0)] - np.asarray(Y)[:, None, :]) ** 2, -1)
+    )
+    np.testing.assert_allclose(
+        np.where(fin, d2, 0), np.where(fin, np.asarray(dd_q), 0),
+        rtol=1e-4, atol=1e-4,
+    )
