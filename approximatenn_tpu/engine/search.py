@@ -475,7 +475,11 @@ def search_packed_fused(
     ``window`` overrides the view's per-probe read depth; ``query_block``
     is the kernel's query tile (DMA concurrency = query_block * P).
     ``rerank_width`` widens the per-table and merged candidate pools
-    (see :func:`search`); the kernel's on-chip top-k runs at that width."""
+    (see :func:`search`); the kernel's on-chip top-k runs at that width.
+    Measured Mosaic envelope: rerank_width <= 50 at window=256/P=48 —
+    wider rerank pools at large windows push the rerank gather past the
+    remote compiler's limits (HTTP 500; BASELINE.md 1M high-recall
+    section)."""
     if queries is None:
         points, queries = None, points
     if points is None:
