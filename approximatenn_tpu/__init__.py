@@ -22,7 +22,7 @@ from .engine.search import search, search_packed, search_packed_fused
 from .engine.serving import Server
 from .index import ANNIndex, PackedIndex
 from .ops.distance import brute_force_knn, brute_force_knn_self
-from .ops.pallas_exact import exact_search
+from .ops.pallas_exact import exact_search, quantize_corpus
 
 __version__ = "0.1.0"
 
@@ -63,5 +63,5 @@ __all__ = [
     "ANNIndex", "PackedIndex", "Server", "build", "build_graph_only",
     "search", "search_packed", "search_packed_fused", "precomp", "query",
     "brute_force_knn", "brute_force_knn_self", "exact_search",
-    "ftype", "itype", "set_ftype",
+    "quantize_corpus", "ftype", "itype", "set_ftype",
 ]

@@ -85,22 +85,49 @@ class Server:
         the exact engine streams it as stored (no f32 copy, factors
         bf16-rounded, f32 accumulation — near-identical neighbor sets,
         tests/test_pallas.py) and its corpus-fits-in-HBM bound doubles, so
-        ``mode="auto"`` keeps recall ~1.0 serving to ~16M x 128 per chip."""
+        ``mode="auto"`` keeps recall ~1.0 serving to ~16M x 128 per chip.
+        ``storage_dtype=jnp.int8`` quantizes symmetrically (scale kept on
+        the server; exact-mode only) for 1/4 the f32 bytes — ~32M x 128
+        per chip on the MXU's native int8 path."""
         points = jnp.asarray(points)
-        if storage_dtype is not None:
+        scale = None
+        quantized = (storage_dtype is not None
+                     and jnp.dtype(storage_dtype) == jnp.int8)
+        if metric != "l2" and quantized:
+            # normalize BEFORE quantizing (the int8 grid must cover the
+            # unit sphere, not the raw magnitudes)
+            from ..data.preprocess import prepare_points
+
+            points = prepare_points(points, metric)
+        if quantized:
+            from ..ops.pallas_exact import quantize_corpus
+
+            points, scale = quantize_corpus(points)
+        elif storage_dtype is not None:
             points = points.astype(storage_dtype)
         n = points.shape[0]
         if exact_max_n is None:
             exact_max_n = EXACT_MAX_N_DEFAULT
-            if jnp.dtype(points.dtype).itemsize <= 2:
+            itemsize = jnp.dtype(points.dtype).itemsize
+            if itemsize <= 2:
                 exact_max_n *= 2
+            if itemsize == 1:
+                exact_max_n *= 2  # int8: 4x the f32 bound in total
         if mode == "auto":
             mode = "exact" if n <= exact_max_n and k <= 128 else "hash"
         if mode not in ("exact", "hash"):
             raise ValueError(f"unknown mode {mode!r}")
+        if quantized and mode != "exact":
+            raise ValueError(
+                "storage_dtype=int8 serves the exact engine only (the "
+                "hash build needs the float corpus); pass mode='exact' "
+                "or quantize via index.packed(dtype=jnp.int8) instead"
+            )
         srv = cls(points=points, k=k, mode=mode, metric=metric,
                   n_probes=n_probes)
-        if metric != "l2":
+        if scale is not None:
+            srv._search_kw["scale"] = scale
+        if metric != "l2" and not quantized:
             from ..data.preprocess import prepare_points
 
             srv.points = prepare_points(points, metric)
@@ -125,10 +152,15 @@ class Server:
             if self.metric != "l2":
                 from ..data.preprocess import prepare_points
 
+                # int8 storage: queries stay float (the kernel quantizes
+                # them itself with the stored scale)
+                qdt = (jnp.float32 if self.points.dtype == jnp.int8
+                       else self.points.dtype)
                 queries = prepare_points(
-                    jnp.asarray(queries, self.points.dtype), self.metric
+                    jnp.asarray(queries, qdt), self.metric
                 )
-            return exact_search(self.points, queries, k, **kw)
+            return exact_search(self.points, queries, k,
+                                **{**self._search_kw, **kw})
         kw.setdefault("n_probes", self.n_probes)
         if self.packed is not None:
             queries = jnp.asarray(queries)

@@ -69,11 +69,23 @@ def _kernel(q_ref, qn_ref, excl_ref, pts_ref, pn_ref, out_i_ref, out_d_ref,
     # query block); the MXU dot accumulates in f32 whatever the input
     # dtype, so bf16 inputs only round the factors, not the sums.
     pn = pn_ref[:]  # (1, T) f32
-    dots = jax.lax.dot_general(
-        qb, tile_pts,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (B, T)
+    if jnp.issubdtype(tile_pts.dtype, jnp.integer):
+        # int8 storage tier: the MXU's native int8 path — int32
+        # accumulation is exact, and the whole distance stays in the
+        # quantized domain (qn/pn are quantized-unit norms, the caller
+        # rescales outputs by scale^2).  |dd| <= 4*d*127^2 < 2^24 for
+        # d <= 128, so the f32 cast below is exact too.
+        dots = jax.lax.dot_general(
+            qb, tile_pts,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        dots = jax.lax.dot_general(
+            qb, tile_pts,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B, T)
     dd = qn_ref[:] + pn - 2.0 * dots
     # padding rows (global id >= n) and self-exclusions -> +inf
     dd = jnp.where(gids < n, dd, jnp.inf)
@@ -164,6 +176,7 @@ def exact_knn_pallas(
     query_block: int | None = None,
     interpret: bool = False,
     compute_dtype=None,
+    scale: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact k nearest neighbors, fused streaming kernel.
 
@@ -179,13 +192,38 @@ def exact_knn_pallas(
     computed from the unrounded inputs, so only the factors are rounded —
     at 1M-scale the nearest-neighbor sets are near-identical (gated by
     tests/test_pallas.py).
+
+    **int8 storage tier**: ``points`` int8 with ``scale`` (the () f32
+    symmetric-quantization step, rows = round(x / scale) in [-127, 127],
+    as produced by :func:`quantize_corpus`) streams the corpus at 1/4 the
+    f32 bytes (4x corpus capacity per chip) and rides the MXU's native
+    int8 path.  Queries are quantized with the same scale, the whole
+    distance runs exactly in the quantized domain (int32 dots, integer
+    norms — no rounding after quantization), and outputs are rescaled by
+    scale^2.  Exact over the quantized values; recall vs the
+    full-precision oracle is gated by tests/test_pallas.py.
     """
     n, d = points.shape
     m = queries.shape[0]
     if k > 128:
         raise ValueError("exact_knn_pallas supports k <= 128 (unrolled selection)")
     f32 = jnp.float32
-    if compute_dtype is not None:
+    quant = points.dtype == jnp.int8
+    if quant:
+        if scale is None:
+            raise ValueError(
+                "int8 corpus requires its quantization scale "
+                "(see quantize_corpus)"
+            )
+        cdt = jnp.dtype(jnp.int8)
+        # same-scale quantization keeps the quantized-domain distance an
+        # exact scale^2 multiple of the dequantized one (cross term and
+        # both norms all scale together); values are integers held in f32
+        # until the final int8 cast below (astype would truncate raw floats)
+        queries = jnp.clip(
+            jnp.round(queries.astype(f32) / scale), -127, 127
+        )
+    elif compute_dtype is not None:
         cdt = jnp.dtype(compute_dtype)
     elif points.dtype in (jnp.bfloat16, jnp.float16):
         # a low-precision *stored* corpus already rounded the factors;
@@ -288,6 +326,9 @@ def exact_knn_pallas(
     )(qp.astype(cdt), qn, ep, pts_c, pn_full)
     ids = out_i[:m].astype(itype)
     dd = out_d[:m]
+    if quant:
+        # quantized-domain -> true squared distances (+inf survives)
+        dd = dd * (scale * scale).astype(f32)
     # exhausted rows (k > n etc.) already carry (n, +inf)
     return ids, dd
 
@@ -312,21 +353,58 @@ def exact_knn_self_pallas(points, k: int, **kw):
     )
 
 
+def quantize_corpus(points, scale=None):
+    """Symmetric int8 quantization of a corpus for the exact engine's
+    int8 storage tier: returns (rows int8 (n, d), scale () f32) with
+    rows = round(x / scale) clipped to [-127, 127] and scale =
+    max|x| / 127 by default (the grid covers the corpus; same convention
+    as the packed int8 tier, ``index._quantize_points``).  Feed both to
+    :func:`exact_search` / :func:`exact_knn_pallas` — 1/4 the f32 HBM
+    (4x exact-serving corpus capacity per chip) on the MXU's native int8
+    path."""
+    points = jnp.asarray(points)
+    pf = points.astype(jnp.float32)
+    if scale is None:
+        scale = jnp.max(jnp.abs(pf)) / 127.0
+    scale = jnp.asarray(scale, jnp.float32)
+    q = jnp.clip(jnp.round(pf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def exact_search(points, queries, k: int, **kw):
     """Exact k-NN with the best available engine: the fused Pallas kernel
     on TPU (measured 2.9-8.7x faster than the XLA-fused form at
     n=20k-200k on a v5e), XLA brute force elsewhere.  On TPU at
     single-chip scales this is a serving mode in its own right — recall
-    1.0 at hundreds of thousands of QPS — not just the test oracle."""
+    1.0 at hundreds of thousands of QPS — not just the test oracle.
+
+    An int8 corpus (from :func:`quantize_corpus`) requires ``scale=``;
+    off-TPU it is dequantized for the XLA oracle (same neighbor sets as
+    the quantized-domain kernel up to ties — both rank the identical
+    quantized values)."""
     points = jnp.asarray(points)
     if _platform_of(points) in ("tpu", "axon") and k <= 128:
-        # a bf16/f16 corpus is streamed at storage width (see
+        # a bf16/f16/int8 corpus is streamed at storage width (see
         # exact_knn_pallas); everything else runs in f32
-        if points.dtype not in (jnp.bfloat16, jnp.float16):
+        if points.dtype not in (jnp.bfloat16, jnp.float16, jnp.int8):
             points = jnp.asarray(points, jnp.float32)
         return exact_knn_pallas(
             points, jnp.asarray(queries, jnp.float32), k, **kw,
         )
     from .distance import brute_force_knn
 
+    scale = kw.pop("scale", None)
+    if points.dtype == jnp.int8:
+        if scale is None:
+            raise ValueError(
+                "int8 corpus requires its quantization scale "
+                "(see quantize_corpus)"
+            )
+        # the oracle ranks the same quantized values the kernel does:
+        # dequantize corpus AND queries onto the quantization grid
+        points = points.astype(jnp.float32) * scale
+        queries = (
+            jnp.clip(jnp.round(jnp.asarray(queries, jnp.float32) / scale),
+                     -127, 127) * scale
+        )
     return brute_force_knn(jnp.asarray(points), jnp.asarray(queries), k)

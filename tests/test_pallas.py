@@ -10,6 +10,8 @@ from approximatenn_tpu.ops.distance import brute_force_knn, brute_force_knn_self
 from approximatenn_tpu.ops.pallas_exact import (
     exact_knn_pallas,
     exact_knn_self_pallas,
+    exact_search,
+    quantize_corpus,
 )
 
 
@@ -96,3 +98,49 @@ class TestExactKNNPallas:
         p = jnp.asarray(rng.standard_normal((10, 4)).astype(np.float32))
         with pytest.raises(ValueError, match="k <= 128"):
             exact_knn_pallas(p, p, 129, interpret=True)
+
+    def test_int8_stored_corpus_matches_quantized_oracle(self, rng):
+        """int8 tier: the kernel ranks in the quantized domain with int32
+        dots — its neighbor sets must EQUAL the oracle's over the same
+        dequantized grid values (both arithmetics are exact there), and
+        returned distances are the oracle's (scale^2-rescaled) ones."""
+        pf = rng.standard_normal((500, 32)).astype(np.float32)
+        q = jnp.asarray(rng.standard_normal((40, 32)).astype(np.float32))
+        pq, scale = quantize_corpus(pf)
+        assert pq.dtype == jnp.int8
+        ia, da = exact_knn_pallas(pq, q, 10, tile=256, query_block=16,
+                                  interpret=True, scale=scale)
+        # oracle on the identical quantized grid (values and queries)
+        s = float(scale)
+        pd = np.asarray(pq, np.float32) * s
+        qd = np.clip(np.round(np.asarray(q) / s), -127, 127) * s
+        ib, db = brute_force_knn(jnp.asarray(pd), jnp.asarray(qd), 10)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(ia), 1), np.sort(np.asarray(ib), 1)
+        )
+        np.testing.assert_allclose(np.asarray(da), np.asarray(db),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_int8_recall_vs_full_precision(self, rng):
+        """Quantization at d=32 keeps neighbor sets near-identical to the
+        full-precision oracle (the tier's quality gate)."""
+        pf = rng.standard_normal((600, 32)).astype(np.float32)
+        q = jnp.asarray(rng.standard_normal((40, 32)).astype(np.float32))
+        pq, scale = quantize_corpus(pf)
+        ia, _ = exact_knn_pallas(pq, q, 10, tile=256, query_block=16,
+                                 interpret=True, scale=scale)
+        ib, _ = brute_force_knn(jnp.asarray(pf), q, 10)
+        overlap = np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / 10
+            for a, b in zip(np.asarray(ia), np.asarray(ib))
+        ])
+        assert overlap > 0.9, overlap
+
+    def test_int8_requires_scale(self, rng):
+        pq, _ = quantize_corpus(rng.standard_normal((64, 8)).astype(np.float32))
+        with pytest.raises(ValueError, match="scale"):
+            exact_knn_pallas(pq, jnp.zeros((4, 8), jnp.float32), 3,
+                             interpret=True)
+        with pytest.raises(ValueError, match="scale"):
+            # CPU oracle routing checks it too
+            exact_search(pq, jnp.zeros((4, 8), jnp.float32), 3)

@@ -54,6 +54,56 @@ def test_exact_bf16_storage(data):
     assert srv3.mode == "hash"
 
 
+def test_exact_int8_storage(data):
+    """storage_dtype=int8 quantizes the corpus (scale kept on the server,
+    forwarded to the exact engine) for 4x the f32 auto threshold; results
+    match the oracle on the quantization grid."""
+    X, Y = data
+    srv = Server.build(X, k=5, storage_dtype=jnp.int8)
+    assert srv.mode == "exact"
+    assert srv.points.dtype == jnp.int8
+    assert srv.describe()["storage_dtype"] == "int8"
+    assert "scale" in srv._search_kw
+    ids, dd = srv.search(Y)
+    s = float(srv._search_kw["scale"])
+    Xd = jnp.asarray(np.asarray(srv.points, np.float32) * s)
+    Yd = jnp.asarray(np.clip(np.round(np.asarray(Y) / s), -127, 127) * s)
+    ti, td = ann.brute_force_knn(Xd, Yd, 5)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(ids), 1), np.sort(np.asarray(ti), 1)
+    )
+    # and near the full-precision oracle
+    tf, _ = ann.brute_force_knn(X, Y, 5)
+    overlap = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 5
+        for a, b in zip(np.asarray(ids), np.asarray(tf))
+    ])
+    assert overlap > 0.9, overlap
+    # 4x threshold: n=3000 stays exact at exact_max_n=750
+    assert Server.build(X, k=5, storage_dtype=jnp.int8).mode == "exact"
+    # int8 is exact-only: forcing hash mode must refuse loudly
+    with pytest.raises(ValueError, match="exact"):
+        Server.build(X, k=5, storage_dtype=jnp.int8, mode="hash")
+
+
+def test_exact_int8_angular(data):
+    """Angular + int8: normalize BEFORE quantizing; queries stay float
+    into the engine (it quantizes them itself)."""
+    X, Y = data
+    srv = Server.build(X, k=5, metric="angular", storage_dtype=jnp.int8)
+    assert srv.points.dtype == jnp.int8
+    ids, _ = srv.search(Y)
+    from approximatenn_tpu.data.preprocess import prepare_points
+
+    Xn, Yn = prepare_points(X, "angular"), prepare_points(Y, "angular")
+    ti, _ = ann.brute_force_knn(Xn, Yn, 5)
+    overlap = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 5
+        for a, b in zip(np.asarray(ids), np.asarray(ti))
+    ])
+    assert overlap > 0.9, overlap
+
+
 def test_auto_picks_hash_above_threshold(data):
     X, Y = data
     srv = Server.build(X, k=5, exact_max_n=1000, tries=4, seed=2)
