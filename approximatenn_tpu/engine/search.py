@@ -600,6 +600,11 @@ def search(
     """
     if queries is None:  # search(index, queries) convenience form
         points, queries = None, points
+    if index.tables is None:
+        raise ValueError(
+            "tables dropped (drop_tables): this index serves through its "
+            "packed view only (search_packed / search_packed_fused)"
+        )
     if points is None:
         if index.points is None:
             raise ValueError(

@@ -109,6 +109,32 @@ def _packed_rows(pts_s, ids):
     return pts_s[jnp.minimum(ids.reshape(-1), n)]
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _fill_rows(buf, pts_s, ids_t, row0):
+    """One table's packed-row gather written in place (buf donated)."""
+    n = pts_s.shape[0] - 1
+    part = pts_s[jnp.minimum(ids_t, n)]
+    return jax.lax.dynamic_update_slice(buf, part, (row0, jnp.int32(0)))
+
+
+def _packed_rows_big(pts_s, ids, n_pad):
+    """Huge-pack variant of :func:`_packed_rows`: one donated
+    dynamic_update_slice per table, fenced, so the enqueue-time working
+    set is ONE table's gather (output workspace is allocated at enqueue
+    on this runtime — a single whole-buffer gather stacks its full
+    multi-GB output on top of everything live and OOMs the 10M x tries>=6
+    pack; per-table the transient is tries-times smaller)."""
+    from .utils.profiling import fence
+
+    tries = ids.shape[0]
+    buf = jnp.zeros((tries * n_pad, pts_s.shape[1]), pts_s.dtype)
+    fence([buf])
+    for t in range(tries):
+        buf = _fill_rows(buf, pts_s, ids[t], jnp.int32(t * n_pad))
+        fence([buf])
+    return buf
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ANNIndex:
@@ -393,7 +419,10 @@ class ANNIndex:
             pts_s = _quantize_points(src, scale, d_pad)
         else:
             pts_s = points if staged else _storage_points(points, dtype, d_pad)
-        rows = _packed_rows(pts_s, ids)
+        if self.tries * n_pad * d_pad * dtype.itemsize > (2 << 30):
+            rows = _packed_rows_big(pts_s, ids, n_pad)
+        else:
+            rows = _packed_rows(pts_s, ids)
         del pts_s  # free the (n+1, d_pad) staging copy before returning
         return PackedIndex(
             row_means=self.row_means,
@@ -429,9 +458,26 @@ class ANNIndex:
             self, tables=self.tables[:, :, :depth], tmax=depth
         )
 
+    def drop_tables(self) -> "ANNIndex":
+        """Free the padded probe tables for packed-serving-only flows.
+
+        The padded tables are the big build artifact (tries * 2^d_short *
+        capacity ids — 1.2 GB at 10M/tries=6/cap=48) and the packed view
+        never reads them (:meth:`packed` recomputes the CSR from codes).
+        When a corpus serves exclusively through ``search_packed*``,
+        dropping them first reclaims that HBM for the packed buffer — the
+        margin that decides whether a 10M int8 tries=6 pack fits on one
+        chip.  The returned copy cannot run the table path (``search``)
+        or be saved; build again (or keep the original) if you need both.
+        """
+        return dataclasses.replace(self, tables=None, counts=None)
+
     def par_maxes(self) -> np.ndarray:
         """Per-table max occupancy (reference ``save->par_maxes``,
         ``ann.h:10``), capped by the table capacity actually stored."""
+        if self.counts is None:
+            raise ValueError("tables dropped (drop_tables); par_maxes "
+                             "needs the build-time occupancy counts")
         return np.minimum(np.asarray(self.counts).max(axis=1), self.tmax)
 
     def memory_bytes(self, ragged: bool = True) -> int:
@@ -441,7 +487,9 @@ class ANNIndex:
         layout actually held in HBM."""
         f = np.dtype(self.row_means.dtype).itemsize
         base = self.row_means.size * f + self.bases.size * f + self.graph.size * 4
-        if ragged:
+        if self.tables is None:
+            tables = 0
+        elif ragged:
             tables = int(self.par_maxes().sum()) * self.n_buckets * 4
         else:
             tables = self.tables.size * 4
@@ -449,6 +497,9 @@ class ANNIndex:
         return int(base + tables + pts)
 
     def save(self, path: str) -> None:
+        if self.tables is None:
+            raise ValueError("tables dropped (drop_tables); a serving-only "
+                             "index is not saveable — save before dropping")
         arrays = dict(
             row_means=np.asarray(self.row_means),
             bases=np.asarray(self.bases),

@@ -389,42 +389,75 @@ def search_packed_sharded(
     )
 
 
-def search_exact_sharded(points, queries, k: int, *, mesh: Mesh, block: int = 1024):
+def search_exact_sharded(points, queries, k: int, *, mesh: Mesh,
+                         block: int = 1024, scale=None):
     """Distributed exact kNN: per-shard exact search + all_gather merge.
     Equals global brute force exactly (each shard's local top-k contains
     every true global top-k member residing on that shard).  Per-shard
     engine: the fused Pallas streaming kernel on TPU (48.6k QPS at 1M on
     ONE v5e chip — n scales linearly with shard count), XLA brute force
-    on CPU meshes."""
+    on CPU meshes.
+
+    Storage tiers shard too: a bf16/f16 corpus streams at storage width,
+    and an int8 corpus (``quantize_corpus``; pass its ``scale``) runs the
+    quantized-domain distance per shard — distances are globally
+    comparable because one scale covers every shard, so the merge is
+    unchanged.  Per-chip capacity (8M f32 / 16M bf16 / 32M int8 at 128-d)
+    multiplies by shard count."""
     from ..ops.distance import brute_force_knn
     from ..ops.pallas_exact import exact_knn_pallas
 
+    points = points if isinstance(points, jax.Array) else jnp.asarray(points)
+    quant = points.dtype == jnp.int8
+    if quant and scale is None:
+        raise ValueError("int8 corpus requires its quantization scale "
+                         "(see quantize_corpus)")
+    stored_width = points.dtype in (jnp.bfloat16, jnp.float16, jnp.int8)
     n = points.shape[0]
     s = mesh.shape[AXIS]
     n_local = n // s
-    points = _shard_points(points if isinstance(points, jax.Array)
-                           else jnp.asarray(points), mesh)
-    queries = _replicate(np.asarray(queries), mesh)
+    f64 = points.dtype == jnp.float64
+    points = _shard_points(points, mesh)
+    qnp = np.asarray(queries)
+    queries = _replicate(
+        qnp if f64 and qnp.dtype == np.float64 else qnp.astype(np.float32),
+        mesh)
+    # one global scale -> per-shard quantized distances share the unit;
+    # replicated as an array arg (never close over device arrays in jit)
+    sc = _replicate(np.float32(1.0 if scale is None else scale), mesh)
     kk = min(k, n_local)
     use_pallas = (
         mesh.devices.flat[0].platform in ("tpu", "axon") and kk <= 128
     )
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=(P(AXIS, None), P()),
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(AXIS, None), P(), P()),
              out_specs=(P(), P()), check_vma=False)
-    def go(pts_l, y):
+    def go(pts_l, y, sc_l):
         if use_pallas:
-            ids_l, dd = exact_knn_pallas(pts_l.astype(jnp.float32),
-                                         y.astype(jnp.float32), kk)
+            p_in = pts_l if stored_width else pts_l.astype(jnp.float32)
+            ids_l, dd = exact_knn_pallas(p_in, y, kk,
+                                         scale=sc_l if quant else None)
+        elif quant:
+            # CPU oracle on the identical quantized grid (same ranking as
+            # the kernel's int32 quantized-domain arithmetic)
+            pd = pts_l.astype(jnp.float32) * sc_l
+            yq = jnp.clip(jnp.round(y / sc_l), -127, 127) * sc_l
+            ids_l, dd = brute_force_knn(pd, yq, kk,
+                                        block=min(block, y.shape[0]))
         else:
-            ids_l, dd = brute_force_knn(pts_l, y, kk, block=min(block, y.shape[0]))
+            # bf16/f16 stored corpora compute the CPU oracle in f32 over
+            # the rounded values (the TPU kernel's semantics: low-precision
+            # factors, f32 accumulation); f64 stays f64
+            p_in = pts_l if pts_l.dtype == y.dtype else pts_l.astype(y.dtype)
+            ids_l, dd = brute_force_knn(p_in, y, kk,
+                                        block=min(block, y.shape[0]))
         offset = jax.lax.axis_index(AXIS).astype(itype) * n_local
         gids, dd = _to_global(ids_l.astype(itype), dd, n_local, n, offset)
         all_ids = jnp.moveaxis(jax.lax.all_gather(gids, AXIS), 0, 1).reshape(y.shape[0], -1)
         all_dd = jnp.moveaxis(jax.lax.all_gather(dd, AXIS), 0, 1).reshape(y.shape[0], -1)
         return topk_no_dedup(all_dd, all_ids, k)
 
-    return go(points, queries)
+    return go(points, queries, sc)
 
 
 def global_graph_sharded(sidx: ShardedIndex, points, *, mesh: Mesh, **kw):

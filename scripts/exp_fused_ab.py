@@ -70,6 +70,7 @@ def main():
     pdt = {None: None, "f32": jnp.float32, "bf16": jnp.bfloat16,
            "int8": jnp.int8}[args.packed_dtype]
 
+    print(json.dumps({"args": vars(args)}), flush=True)
     X, Y = synth_clustered(n, d, nq)
     fence([X, Y])
     tq, _ = ann.exact_search(X, Y, k)
@@ -85,6 +86,11 @@ def main():
                       "tmax": index.tmax, "graph_mode": "auto"}), flush=True)
     if args.free_corpus:
         from approximatenn_tpu.index import stage_points
+
+        # packed-serving-only flow: the padded tables (1.2 GB at
+        # 10M/tries=6) are never read again — reclaim the HBM before the
+        # multi-GB pack (the table-path rows are skipped below anyway)
+        index = index.drop_tables()
 
         # f32 corpus + packed buffer exceed HBM together at 10M: stage to
         # the storage dtype, free the f32 corpus, pack from the staging

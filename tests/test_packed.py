@@ -316,3 +316,36 @@ def test_packed_int8_staged(built):
     assert rq >= _recall(ids_f, true_ids) - 0.05
     with pytest.raises(ValueError):
         index.packed(pi.point_rows[: X.shape[0] + 1], staged=True)
+
+
+def test_packed_rows_big_matches_one_shot(built):
+    """The huge-pack fill path (per-table donated updates, used above 2 GB
+    output) must produce byte-identical rows to the one-shot gather."""
+    from approximatenn_tpu.index import _packed_rows, _packed_rows_big
+
+    X, _, index, _ = built
+    from approximatenn_tpu.index import stage_points
+
+    pts_s = stage_points(X)
+    # CSR slot ids, same construction packed() uses: recompute via packed()
+    pv = index.packed(X)
+    n_pad = pv.ids.shape[1]
+    a = _packed_rows(pts_s, pv.ids)
+    b = _packed_rows_big(pts_s, pv.ids, n_pad)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_drop_tables_serving_only(built):
+    X, Y, index, true_ids = built
+    slim = index.drop_tables()
+    assert slim.tables is None and slim.counts is None
+    # packed view still builds and serves identically
+    ids_a, _ = ann.search_packed(index.packed(X), X, Y)
+    ids_b, _ = ann.search_packed(slim.packed(X), X, Y)
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+    # table path refuses loudly; metadata stays usable
+    with pytest.raises(ValueError, match="drop_tables"):
+        ann.search(slim, X, Y)
+    with pytest.raises(ValueError, match="drop_tables"):
+        slim.save("/tmp/should_not_exist.npz")
+    assert slim.memory_bytes() < index.memory_bytes()

@@ -49,6 +49,38 @@ class TestShardedExact:
             np.sort(np.asarray(dists), 1), np.sort(np.asarray(td), 1), rtol=1e-4
         )
 
+    def test_exact_sharded_int8_tier(self, data, mesh8):
+        """int8 storage shards: one global scale makes per-shard
+        quantized-domain distances globally comparable — the merge equals
+        the brute-force oracle on the same quantized grid."""
+        X, Y = data
+        Xq, scale = ann.quantize_corpus(X)
+        ids, dists = search_exact_sharded(Xq, Y, 10, mesh=mesh8, scale=scale)
+        s = float(scale)
+        Xd = jnp.asarray(np.asarray(Xq, np.float32) * s)
+        Yd = jnp.asarray(np.clip(np.round(Y / s), -127, 127) * s)
+        tq, td = ann.brute_force_knn(Xd, Yd, 10)
+        assert recall_at_k(np.asarray(tq), np.asarray(ids), 10) == 1.0
+        np.testing.assert_allclose(
+            np.sort(np.asarray(dists), 1), np.sort(np.asarray(td), 1),
+            rtol=1e-4, atol=1e-5
+        )
+        # and near the full-precision oracle (quality of the tier itself)
+        tf, _ = ann.brute_force_knn(jnp.asarray(X), jnp.asarray(Y), 10)
+        assert recall_at_k(np.asarray(tf), np.asarray(ids), 10) > 0.9
+        with pytest.raises(ValueError, match="scale"):
+            search_exact_sharded(Xq, Y, 10, mesh=mesh8)
+
+    def test_exact_sharded_bf16_tier(self, data, mesh8):
+        """bf16 stored corpus: per-shard oracle runs f32-over-rounded
+        values (the TPU kernel's semantics); neighbor sets track the f32
+        oracle closely."""
+        X, Y = data
+        ids, _ = search_exact_sharded(
+            jnp.asarray(X, jnp.bfloat16), Y, 10, mesh=mesh8)
+        tf, _ = ann.brute_force_knn(jnp.asarray(X), jnp.asarray(Y), 10)
+        assert recall_at_k(np.asarray(tf), np.asarray(ids), 10) > 0.95
+
 
 class TestShardedBuild:
     def test_shapes(self, sidx):
