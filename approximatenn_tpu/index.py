@@ -393,25 +393,38 @@ class ANNIndex:
         # tries*d_short) each materialize — 6+ GB at 10M next to the
         # corpus (the measured 10M pack OOM); per-chunk transients are
         # ~1/10th and the codes output is tiny (n x tries int32)
+        from .utils.profiling import fence
+
+        d_pad = -(-d // 128) * 128
+        big = self.tries * n_pad * d_pad * jnp.dtype(dtype).itemsize > (2 << 30)
         if self.d_short:
             chunk = 1 << 20
-            codes = jnp.concatenate([
-                _codes_chunk(points[lo: min(lo + chunk, n), :d],
-                             self.row_means, self.bases)
-                for lo in range(0, n, chunk)
-            ])
+            parts = []
+            for lo in range(0, n, chunk):
+                c = _codes_chunk(points[lo: min(lo + chunk, n), :d],
+                                 self.row_means, self.bases)
+                if big:
+                    # workspace is allocated at ENQUEUE on this runtime:
+                    # unfenced, ten queued chunk programs stack ~1 GB of
+                    # transients each ON TOP of the rows buffer allocated
+                    # below (the second measured 10M int8 pack OOM)
+                    fence([c])
+                parts.append(c)
+            codes = jnp.concatenate(parts)
         else:
             codes = jnp.zeros((n, self.tries), jnp.int32)
         order, starts = pack_tables(codes.T, self.n_buckets)
         pad = jnp.full((self.tries, n_pad - n), n, order.dtype)
         ids = jnp.concatenate([order, pad], axis=1)  # (tries, n_pad)
+        if big:
+            fence([ids, starts])
+        del codes, order, pad  # 0.5+ GB of dead int32 at 10M
         if self.dead is not None:
             # removed points keep their CSR slots (positions are the free
             # within-table ids) but can never be returned: sentinel id +
             # +inf vector makes their distance +inf in the diff^2 pass
             is_dead = self.dead[jnp.clip(ids, 0, n)]
             ids = jnp.where(is_dead, n, ids)
-        d_pad = -(-d // 128) * 128
         scale = None
         if quantize:
             src = points[:-1] if staged else points
@@ -419,7 +432,8 @@ class ANNIndex:
             pts_s = _quantize_points(src, scale, d_pad)
         else:
             pts_s = points if staged else _storage_points(points, dtype, d_pad)
-        if self.tries * n_pad * d_pad * dtype.itemsize > (2 << 30):
+        if big:
+            fence([pts_s])
             rows = _packed_rows_big(pts_s, ids, n_pad)
         else:
             rows = _packed_rows(pts_s, ids)
