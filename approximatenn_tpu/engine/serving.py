@@ -114,7 +114,10 @@ class Server:
             if itemsize == 1:
                 exact_max_n *= 2  # int8: 4x the f32 bound in total
         if mode == "auto":
-            mode = "exact" if n <= exact_max_n and k <= 128 else "hash"
+            # a quantized corpus has no hash path (the build needs floats):
+            # auto always resolves it to exact rather than erroring
+            mode = ("exact" if quantized or (n <= exact_max_n and k <= 128)
+                    else "hash")
         if mode not in ("exact", "hash"):
             raise ValueError(f"unknown mode {mode!r}")
         if quantized and mode != "exact":
@@ -165,24 +168,40 @@ class Server:
         if self.packed is not None:
             queries = jnp.asarray(queries)
             # route by batch size (measured crossover, see FUSED_MIN_BATCH)
-            # unless a path-specific kwarg pins the path explicitly
-            fused_only = {"window", "query_block", "interpret"} & kw.keys()
-            xla_only = {"budget_bytes", "block_rows"} & kw.keys()
+            # unless a path-specific kwarg (with an actual value — callers
+            # forwarding optional knobs pass None) pins the path
+            given = {k2 for k2, v in kw.items() if v is not None}
+            window = kw.pop("window", None)  # both paths honor it
+            xla_only = {"budget_bytes", "block_rows"} & given
             on_tpu = all(
                 dev.platform != "cpu"
                 for dev in self.packed.point_rows.devices()
             )
-            use_fused = fused_only or (
+            # interpret=True deliberately runs the fused kernel off-TPU
+            # (tests); query_block is fused-only and meaningless off-TPU
+            interp = bool(kw.get("interpret"))
+            pin_fused = interp or (on_tpu and "query_block" in given)
+            if "query_block" in given and not on_tpu and not interp:
+                raise ValueError(
+                    "query_block is a fused-kernel knob; off-TPU pass "
+                    "interpret=True or drop it"
+                )
+            use_fused = pin_fused or (
                 on_tpu and not xla_only
                 and queries.shape[0] >= FUSED_MIN_BATCH
             )
             if use_fused:
                 from .search import search_packed_fused
 
-                return search_packed_fused(self.packed, queries=queries, **kw)
+                return search_packed_fused(self.packed, queries=queries,
+                                           window=window, **kw)
             from .search import search_packed
 
-            return search_packed(self.packed, queries=queries, **kw)
+            kw.pop("query_block", None)  # fused-only, None/absent here
+            kw.pop("interpret", None)
+            pv = (self.packed if window is None
+                  else self.packed.with_window(window))
+            return search_packed(pv, queries=queries, **kw)
         from .search import search
 
         return search(self.index, queries=queries, **kw)
@@ -194,9 +213,14 @@ class Server:
             "d": int(self.points.shape[1]),
             "k": self.k,
             "metric": self.metric,
-            # exact on a low-precision stored corpus is exact over the
-            # rounded values (near-1.0 vs the full-precision oracle)
-            "recall": 1.0 if self.mode == "exact" else None,
+            # recall vs the TRUE neighbors: 1.0 only for full-precision
+            # exact; a rounded/quantized stored corpus is exact over the
+            # grid values, not the originals (measured ~0.93-0.97 for int8
+            # vs the f32 oracle, BASELINE.md) — report None rather than a
+            # number this handle cannot know
+            "recall": (1.0 if self.mode == "exact"
+                       and jnp.dtype(self.points.dtype).itemsize >= 4
+                       else None),
             "storage_dtype": str(jnp.dtype(self.points.dtype)),
         }
         if self.index is not None:

@@ -191,6 +191,11 @@ class ANNIndex:
         """
         from .ops.hash import pack_signs
 
+        if self.tables is None:
+            raise ValueError(
+                "tables dropped (drop_tables): updates need the padded "
+                "tables — keep the original index for add/remove"
+            )
         if points is None:
             points = self.points
         if points is None:
@@ -245,7 +250,14 @@ class ANNIndex:
         # can displace it from slot 0 — mask by id, then re-sort), keep k
         from .ops.pallas_exact import exact_search
 
-        kk = min(self.k + 1 + (0 if self.dead is None else self.k), n_new)
+        # widen by the ACTUAL tombstone count (a new point landing inside
+        # a removed cluster can see more than k dead rows among its
+        # nearest; a fixed +k pads its graph row with sentinels while live
+        # neighbors sit just outside the window).  Past the Pallas
+        # kernel's k<=128 limit exact_search falls back to the XLA oracle,
+        # so correctness is independent of the widening.
+        n_dead = 0 if self.dead is None else int(jnp.sum(self.dead))
+        kk = min(self.k + 1 + n_dead, n_new)
         gnew, gd = exact_search(all_points, new_points, kk)
         gnew = jnp.asarray(gnew, jnp.int32)
         rows = (n_old + jnp.arange(m, dtype=jnp.int32))[:, None]
@@ -279,6 +291,11 @@ class ANNIndex:
         matrix become unreachable (memory is reclaimed at the next
         rebuild); n and live ids are unchanged.
         """
+        if self.tables is None:
+            raise ValueError(
+                "tables dropped (drop_tables): updates need the padded "
+                "tables — keep the original index for add/remove"
+            )
         ids = jnp.asarray(ids, jnp.int32).reshape(-1)
         dead = self.dead
         if dead is None:
@@ -515,16 +532,16 @@ class ANNIndex:
             raise ValueError("tables dropped (drop_tables); a serving-only "
                              "index is not saveable — save before dropping")
         arrays = dict(
-            row_means=np.asarray(self.row_means),
-            bases=np.asarray(self.bases),
             tables=np.asarray(self.tables),
             counts=np.asarray(self.counts),
             graph=np.asarray(self.graph),
             meta=np.array([self.n, self.k, self.d, self.d_short, self.tries, self.tmax]),
             metric=np.array(self.metric),
         )
+        _stash(arrays, "row_means", self.row_means)
+        _stash(arrays, "bases", self.bases)
         if self.points is not None:
-            arrays["points"] = np.asarray(self.points)
+            _stash(arrays, "points", self.points)
         if self.dead is not None:
             arrays["dead"] = np.asarray(self.dead)
         np.savez_compressed(path, **arrays)
@@ -633,8 +650,6 @@ class PackedIndex:
         if rows.dtype.itemsize == 2:
             rows = rows.view(np.uint16)
         arrays = dict(
-            row_means=np.asarray(self.row_means),
-            bases=np.asarray(self.bases),
             point_rows=rows,
             row_dtype=np.array(row_dt),
             ids=np.asarray(self.ids),
@@ -644,8 +659,12 @@ class PackedIndex:
                            self.window, self.super_width, self.d_pad]),
             metric=np.array(self.metric),
         )
+        _stash(arrays, "row_means", self.row_means)
+        _stash(arrays, "bases", self.bases)
         if self.points is not None:
-            arrays["points"] = np.asarray(self.points)
+            # the staged-serving corpus is bf16 in the 10M budget — stash
+            # handles the npz-unrepresentable half dtypes
+            _stash(arrays, "points", self.points)
         if self.scale is not None:
             arrays["scale"] = np.asarray(self.scale, np.float32)
         np.savez_compressed(path, **arrays)
@@ -659,30 +678,55 @@ class PackedIndex:
         if rows.dtype == jnp.uint16:
             rows = jax.lax.bitcast_convert_type(rows, row_dt)
         return cls(
-            row_means=jnp.asarray(z["row_means"]),
-            bases=jnp.asarray(z["bases"]),
+            row_means=_unstash(z, "row_means"),
+            bases=_unstash(z, "bases"),
             point_rows=rows,
             ids=jnp.asarray(z["ids"]),
             starts=jnp.asarray(z["starts"]),
             graph=jnp.asarray(z["graph"]),
-            points=jnp.asarray(z["points"]) if "points" in z else None,
+            points=_unstash(z, "points"),
             scale=jnp.asarray(z["scale"]) if "scale" in z else None,
             n=n, k=k, d=d, d_short=d_short, tries=tries, window=window,
             super_width=w, metric=str(z["metric"]), d_pad=d_pad,
         )
 
 
+def _stash(arrays: dict, key: str, arr) -> None:
+    """npz-safe array store: 2-byte float dtypes go as raw uint16 words +
+    a '<key>_dtype' tag (numpy silently writes ml_dtypes bfloat16 as void
+    'V2', which jnp.asarray then rejects at load — measured on the bf16
+    staged-corpus tier)."""
+    tag = str(jnp.dtype(arr.dtype))
+    a = np.asarray(arr)
+    if a.dtype.itemsize == 2:
+        arrays[key] = a.view(np.uint16)
+        arrays[key + "_dtype"] = np.array(tag)
+    else:
+        arrays[key] = a
+
+
+def _unstash(z, key: str, default=None):
+    """Inverse of :func:`_stash`; raw (untagged) arrays load unchanged."""
+    if key not in z:
+        return default
+    a = jnp.asarray(z[key])
+    tk = key + "_dtype"
+    if tk in z and a.dtype == jnp.uint16:
+        a = jax.lax.bitcast_convert_type(a, jnp.dtype(str(z[tk])))
+    return a
+
+
 def _load_annindex(cls, path: str) -> "ANNIndex":
     z = np.load(path)
     n, k, d, d_short, tries, tmax = (int(v) for v in z["meta"])
     return cls(
-        row_means=jnp.asarray(z["row_means"]),
-        bases=jnp.asarray(z["bases"]),
+        row_means=_unstash(z, "row_means"),
+        bases=_unstash(z, "bases"),
         tables=jnp.asarray(z["tables"]),
         counts=jnp.asarray(z["counts"]),
         graph=jnp.asarray(z["graph"]),
         n=n, k=k, d=d, d_short=d_short, tries=tries, tmax=tmax,
-        points=jnp.asarray(z["points"]) if "points" in z else None,
+        points=_unstash(z, "points"),
         dead=jnp.asarray(z["dead"]) if "dead" in z else None,
         metric=str(z["metric"]) if "metric" in z else "l2",
     )

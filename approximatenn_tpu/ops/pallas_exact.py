@@ -353,7 +353,29 @@ def exact_knn_self_pallas(points, k: int, **kw):
     )
 
 
-def quantize_corpus(points, scale=None):
+@jax.jit
+def _absmax(x):
+    return jnp.max(jnp.abs(x.astype(jnp.float32)))
+
+
+@jax.jit
+def _quantize_block(x, scale):
+    # one fused program: no eager divide/round/clip chain, each of which
+    # would materialize a corpus-width f32 transient
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                    -127, 127).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _quantize_fill(buf, x, scale, row0):
+    return jax.lax.dynamic_update_slice(
+        buf, _quantize_block(x, scale), (row0, jnp.int32(0)))
+
+
+_QUANT_CHUNKED_MIN_BYTES = 1 << 30  # patchable in tests
+
+
+def quantize_corpus(points, scale=None, chunk_rows: int = 2_000_000):
     """Symmetric int8 quantization of a corpus for the exact engine's
     int8 storage tier: returns (rows int8 (n, d), scale () f32) with
     rows = round(x / scale) clipped to [-127, 127] and scale =
@@ -361,14 +383,39 @@ def quantize_corpus(points, scale=None):
     as the packed int8 tier, ``index._quantize_points``).  Feed both to
     :func:`exact_search` / :func:`exact_knn_pallas` — 1/4 the f32 HBM
     (4x exact-serving corpus capacity per chip) on the MXU's native int8
-    path."""
+    path.
+
+    Corpora past ~1 GB quantize in fenced ``chunk_rows`` blocks written
+    into the output through donated updates: at the 24-32M scales this
+    tier exists for, the corpus barely fits HBM by itself, and both
+    one-shot transients and enqueue-time workspace stacking (CLAUDE.md
+    rule 16) would OOM."""
     points = jnp.asarray(points)
-    pf = points.astype(jnp.float32)
+    n, d = points.shape
+    big = n * d * 4 > _QUANT_CHUNKED_MIN_BYTES
     if scale is None:
-        scale = jnp.max(jnp.abs(pf)) / 127.0
+        if big:
+            from ..utils.profiling import fence
+
+            mx = jnp.float32(0)
+            for lo in range(0, n, chunk_rows):
+                mx = jnp.maximum(mx, _absmax(points[lo: lo + chunk_rows]))
+                fence([mx])
+            scale = mx / 127.0
+        else:
+            scale = _absmax(points) / 127.0
     scale = jnp.asarray(scale, jnp.float32)
-    q = jnp.clip(jnp.round(pf / scale), -127, 127).astype(jnp.int8)
-    return q, scale
+    if not big:
+        return _quantize_block(points, scale), scale
+    from ..utils.profiling import fence
+
+    buf = jnp.zeros((n, d), jnp.int8)
+    fence([buf])
+    for lo in range(0, n, chunk_rows):
+        buf = _quantize_fill(buf, points[lo: lo + chunk_rows], scale,
+                             jnp.int32(lo))
+        fence([buf])
+    return buf, scale
 
 
 def exact_search(points, queries, k: int, **kw):

@@ -177,7 +177,9 @@ def probe_topk_pallas(
     # and coverage of [start, start+window) must survive), then round up
     window = min(-(-(window + align - 1) // align) * align, n_pad)
     starts = jnp.clip(starts // align, 0, (n_pad - window) // align)
-    bq = min(query_block, m)
+    # a wave is bq * P_wave >= bq copies, so bq itself must stay under the
+    # in-flight cap whatever query_block the caller asks for
+    bq = min(query_block, m, _DMA_INFLIGHT_MAX)
     # The query block is a VMEM BlockSpec tile: its sublane dim must be
     # 8-divisible (or equal to the whole array) — bq = 12 fails Mosaic's
     # block-shape check even though 8 and 16 pass.

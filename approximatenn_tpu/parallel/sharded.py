@@ -95,14 +95,17 @@ def _shard_points(points, mesh):
     return jax.device_put(points, NamedSharding(mesh, P(AXIS, None)))
 
 
-def _replicate(arr, mesh):
-    """Replicate a host array over every device of `mesh`, including
+def _replicate(arr, mesh, dtype=None):
+    """Replicate an array over every device of `mesh`, including
     non-addressable ones (multi-host): each process contributes its
-    identical local copy."""
+    identical local copy.  Single-process, an already-device-resident
+    array is placed directly — forcing it through np.asarray would add a
+    blocking device->host pull per call (seconds on the slow tunnel)."""
     sharding = NamedSharding(mesh, P())
     if jax.process_count() > 1:
-        arr = np.asarray(arr)
+        arr = np.asarray(arr) if dtype is None else np.asarray(arr, dtype)
         return jax.make_array_from_process_local_data(sharding, arr, arr.shape)
+    arr = jnp.asarray(arr) if dtype is None else jnp.asarray(arr, dtype)
     return jax.device_put(arr, sharding)
 
 
@@ -209,7 +212,7 @@ def search_sharded(
         block_rows = pick_block(m, ltot, sidx.d, 4, budget_bytes)
     points = _shard_points(points, mesh)
     points = points if points.dtype == sidx.bases.dtype else points.astype(sidx.bases.dtype)
-    queries = _replicate(np.asarray(queries, sidx.bases.dtype), mesh)
+    queries = _replicate(queries, mesh, dtype=sidx.bases.dtype)
 
     @partial(
         jax.shard_map, mesh=mesh,
@@ -353,7 +356,7 @@ def search_packed_sharded(
         ltot = sidx.tries * nprb * rpp * spk.super_width
         block_rows = pick_block(m, ltot, sidx.d, 4, budget_bytes)
     points = _shard_points(points, mesh)
-    queries = _replicate(np.asarray(queries, sidx.bases.dtype), mesh)
+    queries = _replicate(queries, mesh, dtype=sidx.bases.dtype)
 
     @partial(
         jax.shard_map, mesh=mesh,
@@ -418,9 +421,9 @@ def search_exact_sharded(points, queries, k: int, *, mesh: Mesh,
     n_local = n // s
     f64 = points.dtype == jnp.float64
     points = _shard_points(points, mesh)
-    qnp = np.asarray(queries)
+    q = jnp.asarray(queries)
     queries = _replicate(
-        qnp if f64 and qnp.dtype == np.float64 else qnp.astype(np.float32),
+        q if f64 and q.dtype == jnp.float64 else q.astype(jnp.float32),
         mesh)
     # one global scale -> per-shard quantized distances share the unit;
     # replicated as an array arg (never close over device arrays in jit)

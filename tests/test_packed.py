@@ -349,3 +349,31 @@ def test_drop_tables_serving_only(built):
     with pytest.raises(ValueError, match="drop_tables"):
         slim.save("/tmp/should_not_exist.npz")
     assert slim.memory_bytes() < index.memory_bytes()
+
+
+def test_packed_save_load_bf16_points_roundtrip(built, tmp_path):
+    """bf16 stored corpora must survive save/load: numpy silently writes
+    ml_dtypes bfloat16 as void 'V2', which jnp.asarray rejects at load —
+    every 2-byte float field goes through the uint16-word stash."""
+    from approximatenn_tpu.index import PackedIndex, stage_points
+
+    X, Y, index, _ = built
+    Xs = stage_points(X, jnp.bfloat16)
+    pv = index.packed(Xs, staged=True, store_points=True)
+    assert pv.points.dtype == jnp.bfloat16
+    p = str(tmp_path / "pv_bf16.npz")
+    pv.save(p)
+    pv2 = PackedIndex.load(p)
+    assert pv2.points.dtype == jnp.bfloat16
+    ids_a, _ = ann.search_packed(pv, queries=Y)
+    ids_b, _ = ann.search_packed(pv2, queries=Y)
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+
+
+def test_drop_tables_update_guards(built):
+    X, _, index, _ = built
+    slim = index.drop_tables()
+    with pytest.raises(ValueError, match="drop_tables"):
+        slim.add_points(X[:4], X)
+    with pytest.raises(ValueError, match="drop_tables"):
+        slim.remove_points([1, 2])

@@ -144,3 +144,16 @@ class TestExactKNNPallas:
         with pytest.raises(ValueError, match="scale"):
             # CPU oracle routing checks it too
             exact_search(pq, jnp.zeros((4, 8), jnp.float32), 3)
+
+
+def test_quantize_corpus_chunked_matches_one_shot(rng, monkeypatch):
+    """The fenced chunked quantizer (corpora past ~1 GB — the 24-32M tier
+    the one-shot eager chain OOMs at) is bit-identical to the one-shot."""
+    import approximatenn_tpu.ops.pallas_exact as pe
+
+    X = rng.standard_normal((1000, 16)).astype(np.float32)
+    q1, s1 = pe.quantize_corpus(X)
+    monkeypatch.setattr(pe, "_QUANT_CHUNKED_MIN_BYTES", 0)
+    q2, s2 = pe.quantize_corpus(X, chunk_rows=137)
+    assert float(s1) == float(s2)
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))

@@ -161,3 +161,11 @@ def test_rejects_unknown_mode(data):
     X, _ = data
     with pytest.raises(ValueError):
         Server.build(X, k=5, mode="banana")
+
+
+def test_int8_auto_resolves_exact_above_threshold(data):
+    """auto must never error on a quantized corpus: it has no hash path,
+    so auto resolves to exact even past exact_max_n."""
+    X, _ = data
+    srv = Server.build(X, k=5, storage_dtype=jnp.int8, exact_max_n=100)
+    assert srv.mode == "exact"
