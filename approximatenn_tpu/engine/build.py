@@ -33,7 +33,7 @@ from ..config import itype
 from ..index import ANNIndex
 from ..ops.buckets import bucket_counts, build_tables, multiprobe_gather
 from ..ops.distance import blocked_over_rows, candidate_dists, pick_block
-from ..ops.hash import pack_signs, probe_codes_directed
+from ..ops.hash import probe_codes_directed
 from ..ops.topk import dedup_topk
 from ..utils.profiling import fence
 from ..ops.transforms import (
@@ -78,14 +78,12 @@ def sample_bases(key, d, d_short, tries, rb, rlb, ra, rla, dtype):
 
 
 def hash_points(xc, bases):
-    """Sign-hash centered points against all tables at once: one MXU matmul
-    + sign packing.  Returns codes (tries, n) int32."""
-    n, d = xc.shape
-    tries, d_short = bases.shape[0], bases.shape[1]
-    if d_short == 0:
-        return jnp.zeros((tries, n), itype)
-    proj = xc @ bases.reshape(tries * d_short, d).T
-    return pack_signs(proj.reshape(n, tries, d_short)).T
+    """Sign-hash PRE-centered points against all tables at once: one MXU
+    matmul + sign packing (convention: ``ops.hash.query_codes`` with zero
+    means).  Returns codes (tries, n) int32."""
+    from ..ops.hash import query_codes
+
+    return query_codes(jnp.zeros((), xc.dtype), bases, xc)[0].T
 
 
 def hash_stage(points, key, *, d_short, tries, rb, rlb, ra, rla, dtype):

@@ -26,7 +26,7 @@ from ..config import itype
 from ..index import ANNIndex, PackedIndex
 from ..ops.buckets import multiprobe_gather
 from ..ops.distance import blocked_over_rows, candidate_dists, pick_block
-from ..ops.hash import pack_signs, probe_codes, probe_codes_directed
+from ..ops.hash import probe_codes, probe_codes_directed, query_codes
 from ..ops.topk import dedup_topk
 from ..utils.profiling import fence
 
@@ -45,14 +45,7 @@ def search_impl(index: ANNIndex, points, queries, block_rows: int,
     dtype = index.bases.dtype
     m, d = queries.shape
     q = queries.astype(dtype)
-    yc = q - index.row_means
-    if d_short:
-        proj = yc @ index.bases.reshape(tries * d_short, d).T
-        proj = proj.reshape(m, tries, d_short)
-        codes = pack_signs(proj)  # (m, tries)
-    else:
-        proj = jnp.zeros((m, tries, 0), dtype)
-        codes = jnp.zeros((m, tries), itype)
+    codes, proj = query_codes(index.row_means, index.bases, q)  # (m, tries)
 
     table_idx = jnp.arange(tries, dtype=itype)[None, :, None]
 
@@ -118,10 +111,7 @@ _ONE_SHOT_MAX_BYTES = 5 << 30  # points+tables+graph above this -> chunked
 @jax.jit
 def _query_codes(row_means, bases, queries):
     """Bucket codes of each query under every table: (m, tries) int."""
-    tries, d_short, d = bases.shape
-    yc = queries - row_means
-    proj = (yc @ bases.reshape(tries * d_short, d).T)
-    return pack_signs(proj.reshape(queries.shape[0], tries, d_short))
+    return query_codes(row_means, bases, queries)[0]
 
 
 @partial(jax.jit, static_argnames=("k", "d_short", "block_rows", "n_probes"))
@@ -241,14 +231,7 @@ def search_packed_impl(pi: PackedIndex, points, queries, block_rows: int,
     cdtype = pi.point_rows.dtype  # candidate/compute dtype (may be bf16)
     m = queries.shape[0]
     q = queries.astype(dtype)
-    yc = q - pi.row_means
-    if d_short:
-        proj = yc @ pi.bases.reshape(tries * d_short, d).T
-        proj = proj.reshape(m, tries, d_short)
-        codes = pack_signs(proj)
-    else:
-        proj = jnp.zeros((m, tries, 0), dtype)
-        codes = jnp.zeros((m, tries), itype)
+    codes, proj = query_codes(pi.row_means, pi.bases, q)
 
     table_idx = jnp.arange(tries, dtype=itype)[None, :, None]
     slot_off = (jnp.arange(tries, dtype=itype) * n_pad)[None, :, None]
@@ -363,14 +346,7 @@ def search_packed_fused_impl(pi: PackedIndex, points, queries,
     dtype = pi.bases.dtype
     m = queries.shape[0]
     q = queries.astype(dtype)
-    yc = q - pi.row_means
-    if d_short:
-        proj = yc @ pi.bases.reshape(tries * d_short, d).T
-        proj = proj.reshape(m, tries, d_short)
-        codes = pack_signs(proj)
-    else:
-        proj = jnp.zeros((m, tries, 0), dtype)
-        codes = jnp.zeros((m, tries), itype)
+    codes, proj = query_codes(pi.row_means, pi.bases, q)
     if n_probes is None:
         probes = probe_codes(codes, d_short)  # (m, tries, P)
     else:

@@ -37,14 +37,11 @@ from functools import partial
 
 @jax.jit
 def _codes_chunk(points_chunk, row_means, bases):
-    """Hash codes for a row chunk: center, project, pack signs — one jit
-    so the centered copy and projection stay chunk-sized transients."""
-    from .ops.hash import pack_signs
+    """Hash codes for a row chunk — one jit so the centered copy and
+    projection stay chunk-sized transients (convention: query_codes)."""
+    from .ops.hash import query_codes
 
-    tries, d_short, d = bases.shape
-    centered = points_chunk.astype(bases.dtype) - row_means
-    proj = centered @ bases.reshape(tries * d_short, d).T
-    return pack_signs(proj.reshape(points_chunk.shape[0], tries, d_short))
+    return query_codes(row_means, bases, points_chunk)[0]
 
 
 def stage_points(points, dtype=None) -> jax.Array:
@@ -85,9 +82,10 @@ def _quantize_points(points, scale, d_pad):
     sentinel slots are instead excluded AFTER the distance pass via the id
     map (id == n -> +inf), see ``search_packed_fused_impl``.  Lane padding
     is zero like the float form (distance-neutral)."""
+    from .ops.pallas_exact import _quantize_block
+
     n, d = points.shape
-    q = jnp.clip(jnp.round(points.astype(jnp.float32) / scale), -127, 127)
-    q = q.astype(jnp.int8)
+    q = _quantize_block(points, scale)  # THE quantization convention
     if d_pad != d:
         q = jnp.pad(q, [(0, 0), (0, d_pad - d)])
     return jnp.concatenate([q, jnp.zeros((1, d_pad), jnp.int8)])
@@ -189,7 +187,7 @@ class ANNIndex:
         when the corpus has grown past ~2x, as bucket sizing (d_short)
         is fixed at build time.  Requires stored points or ``points``.
         """
-        from .ops.hash import pack_signs
+        from .ops.hash import query_codes
 
         if self.tables is None:
             raise ValueError(
@@ -218,14 +216,7 @@ class ANNIndex:
         tables = jnp.where(self.tables == n_old, n_new, self.tables)
         graph = jnp.where(self.graph == n_old, n_new, self.graph)
 
-        if self.d_short:
-            centered = new_points - self.row_means
-            proj = centered @ self.bases.reshape(
-                self.tries * self.d_short, d
-            ).T
-            codes = pack_signs(proj.reshape(m, self.tries, self.d_short))
-        else:
-            codes = jnp.zeros((m, self.tries), jnp.int32)
+        codes, _ = query_codes(self.row_means, self.bases, new_points)
 
         # device-side bulk append: per table, rank each new point within
         # its bucket (argsort + searchsorted, the build_table idiom) and

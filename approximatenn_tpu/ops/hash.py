@@ -31,6 +31,28 @@ def pack_signs(x: jax.Array) -> jax.Array:
     return jnp.sum(bits * weights, axis=-1, dtype=itype)
 
 
+def query_codes(row_means, bases, x) -> tuple[jax.Array, jax.Array]:
+    """Center rows against the stored means, project against EVERY table's
+    basis in one MXU matmul, pack sign codes.
+
+    THE single definition of the hashing convention (center -> project ->
+    :func:`pack_signs`, MSB-first, -0.0 negative) — the build chunker, all
+    three query pipelines, the chunked-query driver and streaming updates
+    delegate here, so a convention change lands in one place.
+
+    x (m, d); bases (tries, d_short, d).  Returns (codes (m, tries) int32,
+    proj (m, tries, d_short)) — proj feeds query-directed multiprobe.
+    """
+    tries, d_short, d = bases.shape
+    m = x.shape[0]
+    if d_short == 0:
+        return (jnp.zeros((m, tries), itype),
+                jnp.zeros((m, tries, 0), bases.dtype))
+    xc = x.astype(bases.dtype) - row_means
+    proj = (xc @ bases.reshape(tries * d_short, d).T).reshape(m, tries, d_short)
+    return pack_signs(proj), proj
+
+
 def probe_codes(codes: jax.Array, d_short: int) -> jax.Array:
     """Expand each code to its multiprobe set: itself plus all Hamming-1
     neighbors, shape ``(..., d_short + 1)``.
