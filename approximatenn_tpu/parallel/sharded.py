@@ -259,10 +259,13 @@ class ShardedPacked:
     point_rows: Any  # (S, tries * n_pad_l, d_pad) storage dtype
     ids: Any  # (S, tries, n_pad_l) local ids, sentinel n_local
     starts: Any  # (S, tries, 2^d_short)
-    n_pad_l: int = dataclasses.field(metadata=dict(static=True))
-    d_pad: int = dataclasses.field(metadata=dict(static=True))
-    window: int = dataclasses.field(metadata=dict(static=True))
-    super_width: int = dataclasses.field(metadata=dict(static=True))
+    # int8 tier: ONE replicated quantization scale covers every shard so
+    # per-shard quantized-domain distances stay globally comparable
+    scale: Any = None
+    n_pad_l: int = dataclasses.field(default=0, metadata=dict(static=True))
+    d_pad: int = dataclasses.field(default=0, metadata=dict(static=True))
+    window: int = dataclasses.field(default=0, metadata=dict(static=True))
+    super_width: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     def memory_bytes(self) -> int:
         return int(
@@ -284,45 +287,63 @@ def packed_sharded(
     """Build per-shard packed views from a sharded index: each shard packs
     its local slice into bucket-CSR order (exactly n_local slots per table,
     no capacity padding, no overflow drops) entirely shard-locally — no
-    collectives; the pack is embarrassingly parallel over the mesh."""
+    collectives; the pack is embarrassingly parallel over the mesh.
+
+    ``dtype=jnp.int8`` builds the quantized tier sharded: one global scale
+    (max|x| over the whole sharded corpus — the only cross-shard value)
+    keeps quantized distances comparable across shards; rows follow the
+    single-chip convention (``index._quantize_points``: zero sentinel row,
+    sentinel exclusion via the id map, 32-aligned strides)."""
     import math as _math
 
     from ..ops.buckets import pack_tables
 
     w = max(1, int(super_width))
     n_local, d_short, tries = sidx.n_local, sidx.d_short, sidx.tries
-    lcm8 = _math.lcm(w, 8)
+    dtype = jnp.dtype(sidx.bases.dtype if dtype is None else dtype)
+    quantize = dtype == jnp.int8
+    lcm8 = _math.lcm(w, 32 if quantize else 8)
     n_pad_l = -(-(n_local + 1) // lcm8) * lcm8
     d = sidx.d
     d_pad = -(-d // 128) * 128
-    dtype = jnp.dtype(sidx.bases.dtype if dtype is None else dtype)
     points = _shard_points(points, mesh)
+    scale = None
+    if quantize:
+        # global max over the sharded corpus (XLA inserts the collective)
+        scale = jnp.max(jnp.abs(points.astype(jnp.float32))) / 127.0
 
     @partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(AXIS, None), P(None, None, None), P(None)),
+        in_specs=(P(AXIS, None), P(None, None, None), P(None), P()),
         out_specs=(P(AXIS, None, None), P(AXIS, None, None),
                    P(AXIS, None, None)),
     )
-    def pack_l(pts_l, bases, row_means):
+    def pack_l(pts_l, bases, row_means, sc):
         codes = hash_points(
             pts_l.astype(bases.dtype) - row_means, bases
         )  # (tries, n_local)
         order, starts = pack_tables(codes, 1 << d_short)
         pad = jnp.full((tries, n_pad_l - n_local), n_local, order.dtype)
         ids = jnp.concatenate([order, pad], axis=1)  # (tries, n_pad_l)
-        pts_s = pts_l.astype(dtype)
-        if d_pad != d:
-            pts_s = jnp.pad(pts_s, [(0, 0), (0, d_pad - d)])
-        pts_s = jnp.concatenate(
-            [pts_s, jnp.full((1, d_pad), jnp.inf, dtype)]
-        )
+        if quantize:
+            from ..index import _quantize_points
+
+            pts_s = _quantize_points(pts_l, sc, d_pad)
+        else:
+            pts_s = pts_l.astype(dtype)
+            if d_pad != d:
+                pts_s = jnp.pad(pts_s, [(0, 0), (0, d_pad - d)])
+            pts_s = jnp.concatenate(
+                [pts_s, jnp.full((1, d_pad), jnp.inf, dtype)]
+            )
         rows = pts_s[jnp.minimum(ids.reshape(-1), n_local)]
         return rows[None], ids[None], starts[None]
 
-    rows, ids, starts = pack_l(points, sidx.bases, sidx.row_means)
+    sc = _replicate(np.float32(1.0), mesh) if scale is None else scale
+    rows, ids, starts = pack_l(points, sidx.bases, sidx.row_means, sc)
     return ShardedPacked(
-        point_rows=rows, ids=ids, starts=starts, n_pad_l=n_pad_l,
+        point_rows=rows, ids=ids, starts=starts, scale=scale,
+        n_pad_l=n_pad_l,
         d_pad=d_pad, window=int(window) if window else sidx.tmax,
         super_width=w,
     )
@@ -358,21 +379,26 @@ def search_packed_sharded(
     points = _shard_points(points, mesh)
     queries = _replicate(queries, mesh, dtype=sidx.bases.dtype)
 
+    sc = (spk.scale if spk.scale is not None
+          else _replicate(np.float32(1.0), mesh))
+    has_scale = spk.scale is not None
+
     @partial(
         jax.shard_map, mesh=mesh,
         in_specs=(
             P(AXIS, None), P(),
             P(AXIS, None, None), P(AXIS, None, None), P(AXIS, None, None),
-            P(AXIS, None, None), P(None), P(None, None, None),
+            P(AXIS, None, None), P(None), P(None, None, None), P(),
         ),
         out_specs=(P(), P()),
         check_vma=False,  # outputs replicated via all_gather+identical
     )
-    def go(pts_l, y, rows_l, ids_l, starts_l, graph_l, row_means, bases):
+    def go(pts_l, y, rows_l, ids_l, starts_l, graph_l, row_means, bases, sc_l):
         local = PackedIndex(
             row_means=row_means, bases=bases, point_rows=rows_l[0],
             ids=ids_l[0], starts=starts_l[0], graph=graph_l[0],
-            points=None, n=n_local, k=k, d=sidx.d, d_short=sidx.d_short,
+            points=None, scale=sc_l if has_scale else None,
+            n=n_local, k=k, d=sidx.d, d_short=sidx.d_short,
             tries=sidx.tries, window=spk.window,
             super_width=spk.super_width, d_pad=spk.d_pad,
         )
@@ -388,7 +414,82 @@ def search_packed_sharded(
 
     return go(
         points, queries, spk.point_rows, spk.ids, spk.starts,
-        sidx.graph, sidx.row_means, sidx.bases,
+        sidx.graph, sidx.row_means, sidx.bases, sc,
+    )
+
+
+def search_packed_fused_sharded(
+    sidx: ShardedIndex,
+    spk: ShardedPacked,
+    points,
+    queries,
+    *,
+    mesh: Mesh,
+    n_probes: int | None = None,
+    window: int | None = None,
+    query_block: int = 16,
+    supercharge_rounds: int = 1,
+    rerank_width: int | None = None,
+    interpret: bool | None = None,
+):
+    """:func:`search_packed_sharded` served through the fused probe-window
+    Pallas kernel per shard (``search_packed_fused_impl``) — the scale-out
+    form of the highest-QPS hash path (the kernel DMAs each probe's CSR
+    window per shard; the cross-shard story is unchanged: replicate
+    queries, per-shard top-k, one ``all_gather``, merged top-k).  int8
+    views rank in the quantized domain on-chip and re-score against the
+    shard's float slice.  ``interpret=None`` auto-selects interpret mode
+    off-TPU (how the CPU-mesh tests run the identical kernel)."""
+    from ..engine.search import search_packed_fused_impl
+    from ..index import PackedIndex
+
+    k, n_local, n = sidx.k, sidx.n_local, sidx.n
+    m = queries.shape[0]
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform not in ("tpu", "axon")
+    points = _shard_points(points, mesh)
+    queries = _replicate(queries, mesh, dtype=sidx.bases.dtype)
+    sc = (spk.scale if spk.scale is not None
+          else _replicate(np.float32(1.0), mesh))
+    has_scale = spk.scale is not None
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(
+            P(AXIS, None), P(),
+            P(AXIS, None, None), P(AXIS, None, None), P(AXIS, None, None),
+            P(AXIS, None, None), P(None), P(None, None, None), P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def go(pts_l, y, rows_l, ids_l, starts_l, graph_l, row_means, bases, sc_l):
+        local = PackedIndex(
+            row_means=row_means, bases=bases, point_rows=rows_l[0],
+            ids=ids_l[0], starts=starts_l[0], graph=graph_l[0],
+            points=None, scale=sc_l if has_scale else None,
+            n=n_local, k=k, d=sidx.d, d_short=sidx.d_short,
+            tries=sidx.tries, window=spk.window,
+            super_width=spk.super_width, d_pad=spk.d_pad,
+        )
+        lids, dd = search_packed_fused_impl(
+            local, pts_l, y, n_probes=n_probes, window=window,
+            query_block=query_block, interpret=interpret,
+            supercharge_rounds=supercharge_rounds,
+            rerank_width=rerank_width,
+        )
+        offset = jax.lax.axis_index(AXIS).astype(itype) * n_local
+        gids, dd = _to_global(lids, dd, n_local, n, offset)
+        all_ids = jnp.moveaxis(jax.lax.all_gather(gids, AXIS), 0, 1)
+        all_dd = jnp.moveaxis(jax.lax.all_gather(dd, AXIS), 0, 1)
+        s = all_ids.shape[1]
+        return topk_no_dedup(
+            all_dd.reshape(m, s * k), all_ids.reshape(m, s * k), k
+        )
+
+    return go(
+        points, queries, spk.point_rows, spk.ids, spk.starts,
+        sidx.graph, sidx.row_means, sidx.bases, sc,
     )
 
 

@@ -158,6 +158,43 @@ class TestShardedSearch:
         rec_b = recall_at_k(np.asarray(tq), np.asarray(ids_b), 10)
         assert rec_b >= rec_p - 0.05, (rec_b, rec_p)
 
+    def test_packed_fused_sharded(self, sidx, data, mesh8):
+        """Fused probe-window kernel per shard (interpret on the CPU
+        mesh): recall comparable to the XLA sharded packed path; int8
+        views share ONE global scale and re-score to true distances."""
+        from approximatenn_tpu.parallel.sharded import (
+            packed_sharded,
+            search_packed_fused_sharded,
+            search_packed_sharded,
+        )
+
+        X, Y = data
+        tq, _ = ann.brute_force_knn(jnp.asarray(X), jnp.asarray(Y), 10)
+        spk = packed_sharded(sidx, X, mesh=mesh8)
+        ids_x, _ = search_packed_sharded(sidx, spk, X, Y, mesh=mesh8)
+        ids_f, dd_f = search_packed_fused_sharded(
+            sidx, spk, X, Y, mesh=mesh8, window=spk.window)
+        rec_f = recall_at_k(np.asarray(tq), np.asarray(ids_f), 10)
+        rec_x = recall_at_k(np.asarray(tq), np.asarray(ids_x), 10)
+        # exact-window candidates vs super-row spillover: close, not equal
+        assert rec_f >= rec_x - 0.05, (rec_f, rec_x)
+        ids_f, dd_f = np.asarray(ids_f), np.asarray(dd_f)
+        for j in range(10):
+            want = ((Y[5] - X[ids_f[5, j]]) ** 2).sum()
+            np.testing.assert_allclose(dd_f[5, j], want, rtol=1e-4)
+        # int8 tier sharded: one global scale, rescored true distances
+        spk8 = packed_sharded(sidx, X, mesh=mesh8, dtype=jnp.int8)
+        assert spk8.point_rows.dtype == jnp.int8
+        assert spk8.scale is not None
+        ids_8, dd_8 = search_packed_fused_sharded(
+            sidx, spk8, X, Y, mesh=mesh8, window=spk8.window)
+        rec_8 = recall_at_k(np.asarray(tq), np.asarray(ids_8), 10)
+        assert rec_8 >= rec_f - 0.05, (rec_8, rec_f)
+        ids_8, dd_8 = np.asarray(ids_8), np.asarray(dd_8)
+        for j in range(10):
+            want = ((Y[5] - X[ids_8[5, j]]) ** 2).sum()
+            np.testing.assert_allclose(dd_8[5, j], want, rtol=1e-4)
+
     def test_mesh_size_one_matches_spirit(self, data):
         """A 1-device mesh must work (degenerate distribution)."""
         X, Y = data
