@@ -79,6 +79,7 @@ class Server:
         window: int | None = None,
         n_probes: int | None = None,
         storage_dtype=None,
+        packed_dtype=None,
         **build_kw,
     ) -> "Server":
         """``storage_dtype=jnp.bfloat16`` stores the corpus at half width:
@@ -141,7 +142,11 @@ class Server:
                 points, k, metric=metric, store_points=True, **build_kw
             )
             if layout == "packed":
-                srv.packed = srv.index.packed(window=window)
+                # packed_dtype: storage width of the packed rows (bf16
+                # halves them, int8 quarters + quantized ranking with
+                # float re-score — see ANNIndex.packed)
+                srv.packed = srv.index.packed(window=window,
+                                              dtype=packed_dtype)
         return srv
 
     def search(self, queries, k: int | None = None, **kw):
