@@ -162,9 +162,163 @@ def _kernel(q_ref, qn_ref, excl_ref, pts_ref, pn_ref, out_i_ref, out_d_ref,
         out_i_ref[:] = jnp.concatenate(outs_i, axis=-1)
 
 
+def _stream_kernel(q_ref, qn_ref, excl_ref, pts_hbm, pn_hbm, out_i_ref,
+                   out_d_ref, run_d, run_i, pts_buf, pn_buf, sems, *, k: int,
+                   n: int, tile: int, n_tiles: int, last_div: int,
+                   n_buf: int):
+    """Streaming variant of :func:`_kernel`: the grid covers query blocks
+    only, and the point tiles are hand-DMA'd HBM->VMEM with double
+    buffering inside a ``fori_loop``.
+
+    Hypothesis tested (rule 11, CLAUDE.md): if grid steps cost ~tens of
+    us each, the (nq_blocks, n_tiles) grid of the block-pipelined kernel
+    would pay ~15 ms of step overhead at 1M x 128.  REFUTED on real TPU:
+    this kernel measures 0.83-0.97x the grid kernel's throughput at
+    every (tile, query_block) that compiles (scripts/sweep_exact_stream
+    .py, 2026-08-19) — steps *within* a compiled grid are cheap and
+    Mosaic already double-buffers the corpus blocks; rule 11's cost is
+    per pallas_call dispatch.  Kept (default-off) as the documented
+    negative result and as the minimal testbed for the in-kernel DMA
+    idioms the probe kernel relies on.
+
+    DMA offsets must be PROVABLY tile-aligned (rule 14): every tile
+    starts at ``128 * off128(i)`` — a constant multiple of 128 rows,
+    which satisfies f32 (8), bf16 (16) and int8 (32) sublane tiling at
+    once.  The caller guarantees the corpus row count is a multiple of
+    128; the last tile starts at ``n_rows - tile`` (also 128-aligned)
+    and *overlaps* the previous one — the overlap is masked out via
+    ``gid >= i * tile`` so no candidate is scored twice.
+    """
+    run_d[:] = jnp.full(run_d.shape, jnp.inf, run_d.dtype)
+    run_i[:] = jnp.full(run_i.shape, n, run_i.dtype)
+    qb = q_ref[:]
+    qn = qn_ref[:]
+    excl = excl_ref[:]
+    quant = jnp.issubdtype(pts_buf.dtype, jnp.integer)
+
+    def off128(i):
+        return jnp.minimum(i * (tile // 128), last_div)
+
+    def pts_dma(slot, i):
+        return pltpu.make_async_copy(
+            pts_hbm.at[pl.ds(off128(i) * 128, tile), :],
+            pts_buf.at[slot],
+            sems.at[0, slot],
+        )
+
+    def pn_dma(slot, i):
+        return pltpu.make_async_copy(
+            pn_hbm.at[:, pl.ds(off128(i) * 128, tile)],
+            pn_buf.at[slot],
+            sems.at[1, slot],
+        )
+
+    # warm-up: n_buf - 1 tiles in flight before the loop.  A single tile
+    # DMA costs ~60 us issue-to-completion on this runtime — latency, not
+    # bandwidth (4 MB would take ~5 us at HBM speed) — so two buffers
+    # serialize on that latency (measured 69 GB/s effective at 1M).
+    # Deep buffering keeps n_buf - 1 copies in flight, dividing the
+    # latency by the depth; the probe kernel already runs waves of
+    # hundreds of concurrent DMAs, so the engine parallelism is there.
+    for w in range(n_buf - 1):
+        if w < n_tiles:  # static when n_tiles is small
+            pts_dma(w, w).start()
+            pn_dma(w, w).start()
+    kiota = jax.lax.broadcasted_iota(jnp.int32, run_d.shape, 1)
+    big = jnp.iinfo(jnp.int32).max
+
+    def loop_body(t, _):
+        cur = jax.lax.rem(t, n_buf)
+
+        @pl.when(t + n_buf - 1 < n_tiles)
+        def _prefetch():
+            nxt = jax.lax.rem(t + n_buf - 1, n_buf)
+            pts_dma(nxt, t + n_buf - 1).start()
+            pn_dma(nxt, t + n_buf - 1).start()
+
+        pts_dma(cur, t).wait()
+        pn_dma(cur, t).wait()
+        tile_pts = pts_buf[cur]
+        pn = pn_buf[cur]  # (1, tile) f32
+        base = off128(t) * 128
+        gids = base + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        if quant:
+            dots = jax.lax.dot_general(
+                qb, tile_pts,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        else:
+            dots = jax.lax.dot_general(
+                qb, tile_pts,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        # Mandatory per-tile VPU work is exactly TWO (bq, tile) sweeps —
+        # one fused multiply-add and one max-reduce.  dd = qn - s with
+        # s = 2*dots - pn, so min(dd) = qn - max(s); the full distance
+        # block (and all its masks) is only materialized in the rare
+        # merge branch.  Unmasked pad/overlap/self rows can only
+        # FALSE-TRIGGER a merge (their masked dd is +inf inside), never
+        # suppress one: masking only raises dd.
+        s = 2.0 * dots - pn  # (bq, tile)
+        smax = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
+        run_worst = jnp.max(run_d[:], axis=-1, keepdims=True)
+
+        @pl.when(jnp.any(qn - smax < run_worst))
+        def _merge():
+            dd = qn - s
+            # rows already covered by a previous tile (the overlapping
+            # last tile), padding rows (gid >= n), self-exclusions -> +inf
+            dd = jnp.where(gids >= t * tile, dd, jnp.inf)
+            dd = jnp.where(gids < n, dd, jnp.inf)
+            dd = jnp.where(gids == excl, jnp.inf, dd)
+            def insert(state):
+                it, dd_, cur_d, cur_i = state
+                dmin, imin = _extract_min(dd_, gids)
+                wmax = jnp.max(cur_d, axis=-1, keepdims=True)
+                wslot = jnp.min(jnp.where(cur_d == wmax, kiota, big),
+                                axis=-1, keepdims=True)
+                hit = (dmin < wmax) & (kiota == wslot)
+                cur_d = jnp.where(hit, dmin, cur_d)
+                cur_i = jnp.where(hit, imin, cur_i)
+                dd_ = jnp.where(gids == imin, jnp.inf, dd_)
+                return it + 1, dd_, cur_d, cur_i
+
+            def cond(state):
+                it, dd_, cur_d, _ = state
+                still = jnp.any(
+                    jnp.min(dd_, axis=-1, keepdims=True)
+                    < jnp.max(cur_d, axis=-1, keepdims=True)
+                )
+                return (it < k) & still
+
+            _, _, out_d, out_i = jax.lax.while_loop(
+                cond, insert, (jnp.int32(0), dd, run_d[:], run_i[:])
+            )
+            run_d[:] = out_d
+            run_i[:] = out_i
+
+    jax.lax.fori_loop(0, n_tiles, loop_body, None)
+
+    # ascending extraction of the running k
+    d_, i_ = run_d[:], run_i[:]
+    outs_d, outs_i = [], []
+    for _ in range(k):
+        dmin, imin = _extract_min(d_, i_)
+        imin = jnp.where(jnp.isinf(dmin), n, imin)
+        outs_d.append(dmin)
+        outs_i.append(imin)
+        d_ = jnp.where(i_ == imin, jnp.inf, d_)
+    out_d_ref[:] = jnp.concatenate(outs_d, axis=-1)
+    out_i_ref[:] = jnp.concatenate(outs_i, axis=-1)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tile", "query_block", "interpret", "compute_dtype"),
+    static_argnames=(
+        "k", "tile", "query_block", "interpret", "compute_dtype", "stream"
+    ),
 )
 def exact_knn_pallas(
     points: jax.Array,
@@ -177,6 +331,7 @@ def exact_knn_pallas(
     interpret: bool = False,
     compute_dtype=None,
     scale: jax.Array | None = None,
+    stream: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact k nearest neighbors, fused streaming kernel.
 
@@ -263,6 +418,35 @@ def exact_knn_pallas(
     nq_blocks = math.ceil(m / bq)
     mp = nq_blocks * bq
 
+    # streaming path (grid = query blocks only; corpus tiles hand-DMA'd,
+    # double-buffered): pays one grid step per query block instead of
+    # n_tiles of them.  MEASURED SLOWER than the grid kernel at 1M x 128
+    # across the whole (tile, query_block) envelope that compiles
+    # (best 21.2 ms vs 20.5 ms grid; scripts/sweep_exact_stream.py,
+    # 2026-08-19): Mosaic's automatic grid pipelining already
+    # double-buffers the corpus DMA, so the hand-rolled loop only adds
+    # VMEM pressure — rule 11's per-step cost applies to pallas_call
+    # dispatches, not steps *within* a compiled grid.  Default OFF;
+    # kept as an explicit option (the in-kernel DMA machinery is the
+    # probe kernel's testbed).  Requires the corpus row count to be a
+    # 128-multiple (provable DMA offsets for every sublane tiling);
+    # non-aligned corpora pad here when the copy is cheap.
+    pad_rows_128 = (-n) % 128
+    if stream is None:
+        stream = False
+    if stream and (
+        n < 128
+        or (pad_rows_128 and n * d * cdt.itemsize > (2 << 30))
+        # padding a >2 GB corpus per call is worse than step overhead
+    ):
+        stream = False
+    if stream:
+        n_rows = n + pad_rows_128
+        tile = min(max(128, 128 * (tile // 128)), n_rows)
+        if pad_rows_128:
+            pts_c = jnp.pad(pts_c, [(0, pad_rows_128), (0, 0)])
+        n_tiles = math.ceil(n_rows / tile)
+
     def pad_rows(a, value):
         if a.shape[0] == mp:
             return a
@@ -277,9 +461,66 @@ def exact_knn_pallas(
     # block never reads out of bounds
     pf = points.astype(f32)
     pn_full = jnp.sum(pf * pf, axis=-1)[None, :]
-    np_pad = n_tiles * tile
+    np_pad = (n + pad_rows_128) if stream else n_tiles * tile
     if np_pad != n:
         pn_full = jnp.pad(pn_full, [(0, 0), (0, np_pad - n)])
+
+    if stream:
+        n_rows = n + pad_rows_128
+        # pipeline depth: enough in-flight copies to hide the ~60 us
+        # per-DMA latency behind compute; capped by the tile count
+        n_buf = max(2, min(8, n_tiles))
+        kernel = functools.partial(
+            _stream_kernel, k=k, n=n, tile=tile, n_tiles=n_tiles,
+            last_div=(n_rows - tile) // 128, n_buf=n_buf,
+        )
+        out_i, out_d = pl.pallas_call(
+            kernel,
+            grid=(nq_blocks,),
+            in_specs=[
+                pl.BlockSpec((bq, d), lambda qb_: (qb_, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bq, 1), lambda qb_: (qb_, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bq, 1), lambda qb_: (qb_, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((bq, k), lambda qb_: (qb_, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bq, k), lambda qb_: (qb_, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((mp, k), jnp.int32),
+                jax.ShapeDtypeStruct((mp, k), f32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bq, k), f32),
+                pltpu.VMEM((bq, k), jnp.int32),
+                pltpu.VMEM((n_buf, tile, d), cdt),
+                pltpu.VMEM((n_buf, 1, tile), f32),
+                pltpu.SemaphoreType.DMA((2, n_buf)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(
+                    3 * bq * tile * 4
+                    + n_buf * tile * d * cdt.itemsize
+                    + n_buf * 8 * tile * 4
+                    + 2 * bq * (d + 16 * k + 8) * 4
+                    + (12 << 20),
+                    100 << 20,
+                ),
+            ),
+            interpret=interpret,
+        )(qp.astype(cdt), qn, ep, pts_c, pn_full)
+        ids = out_i[:m].astype(itype)
+        dd = out_d[:m]
+        if quant:
+            dd = dd * (scale * scale).astype(f32)
+        return ids, dd
 
     kernel = functools.partial(
         _kernel, k=k, n=n, tile=tile, n_tiles=n_tiles

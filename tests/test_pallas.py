@@ -146,6 +146,92 @@ class TestExactKNNPallas:
             exact_search(pq, jnp.zeros((4, 8), jnp.float32), 3)
 
 
+class TestExactKNNStreaming:
+    """The streaming kernel (grid = query blocks; corpus tiles hand-DMA'd
+    with double buffering — `_stream_kernel`) must match the oracle in
+    every regime the block-pipelined kernel covers.  Interpret mode does
+    NOT validate the Mosaic offset-divisibility rules (CLAUDE.md rule 14)
+    — scripts/bench_exact_stream.py is the real-TPU gate."""
+
+    def test_matches_oracle_unaligned_n(self, rng):
+        # n = 700 pads to 768 rows (128-multiple); 3 tiles, overlapping tail
+        p = jnp.asarray(rng.standard_normal((700, 33)).astype(np.float32))
+        q = jnp.asarray(rng.standard_normal((57, 33)).astype(np.float32))
+        ia, da = exact_knn_pallas(p, q, 7, tile=256, query_block=16,
+                                  interpret=True, stream=True)
+        ib, db = brute_force_knn(p, q, 7)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(ia), 1), np.sort(np.asarray(ib), 1)
+        )
+        np.testing.assert_allclose(np.asarray(da), np.asarray(db),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_matches_oracle_aligned_n(self, rng):
+        # n a 128-multiple, tile NOT dividing n: 768 = 3 x 256; tile 512
+        # makes the last tile start at 256 and overlap [256, 512)
+        p = jnp.asarray(rng.standard_normal((768, 16)).astype(np.float32))
+        q = jnp.asarray(rng.standard_normal((33, 16)).astype(np.float32))
+        ia, _ = exact_knn_pallas(p, q, 5, tile=512, query_block=16,
+                                 interpret=True, stream=True)
+        ib, _ = brute_force_knn(p, q, 5)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(ia), 1), np.sort(np.asarray(ib), 1)
+        )
+
+    def test_self_exclusion(self, rng):
+        p = jnp.asarray(rng.standard_normal((300, 6)).astype(np.float32))
+        ia, _ = exact_knn_self_pallas(p, 4, tile=128, query_block=32,
+                                      interpret=True, stream=True)
+        ia = np.asarray(ia)
+        assert not any(i in ia[i] for i in range(300))
+        ib, _ = brute_force_knn_self(p, 4)
+        np.testing.assert_array_equal(np.sort(ia, 1), np.sort(np.asarray(ib), 1))
+
+    def test_bf16_stored_corpus(self, rng):
+        pf = rng.standard_normal((500, 32)).astype(np.float32)
+        p = jnp.asarray(pf).astype(jnp.bfloat16)
+        q = jnp.asarray(rng.standard_normal((24, 32)).astype(np.float32))
+        ia, _ = exact_knn_pallas(p, q, 10, tile=128, query_block=8,
+                                 interpret=True, stream=True)
+        ib, _ = brute_force_knn(p.astype(jnp.float32), q, 10)
+        overlap = np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / 10
+            for a, b in zip(np.asarray(ia), np.asarray(ib))
+        ])
+        assert overlap > 0.9, overlap
+
+    def test_int8_matches_quantized_oracle(self, rng):
+        pf = rng.standard_normal((500, 32)).astype(np.float32)
+        q = jnp.asarray(rng.standard_normal((24, 32)).astype(np.float32))
+        pq, scale = quantize_corpus(pf)
+        ia, da = exact_knn_pallas(pq, q, 10, tile=128, query_block=8,
+                                  interpret=True, scale=scale, stream=True)
+        s = float(scale)
+        pd = np.asarray(pq, np.float32) * s
+        qd = np.clip(np.round(np.asarray(q) / s), -127, 127) * s
+        ib, db = brute_force_knn(jnp.asarray(pd), jnp.asarray(qd), 10)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(ia), 1), np.sort(np.asarray(ib), 1)
+        )
+        np.testing.assert_allclose(np.asarray(da), np.asarray(db),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_stream_matches_grid_kernel(self, rng):
+        """Same inputs through both kernels: identical neighbor ids; the
+        distances agree to ~1 ulp (the streaming kernel folds the point
+        norm into the score as ``qn - (2*dots - pn)`` — a different
+        association than the grid kernel's ``qn + pn - 2*dots``)."""
+        p = jnp.asarray(rng.standard_normal((640, 12)).astype(np.float32))
+        q = jnp.asarray(rng.standard_normal((19, 12)).astype(np.float32))
+        ia, da = exact_knn_pallas(p, q, 6, tile=128, query_block=8,
+                                  interpret=True, stream=True)
+        ib, db = exact_knn_pallas(p, q, 6, tile=128, query_block=8,
+                                  interpret=True, stream=False)
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+        np.testing.assert_allclose(np.asarray(da), np.asarray(db),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_quantize_corpus_chunked_matches_one_shot(rng, monkeypatch):
     """The fenced chunked quantizer (corpora past ~1 GB — the 24-32M tier
     the one-shot eager chain OOMs at) is bit-identical to the one-shot."""
