@@ -50,6 +50,194 @@ def _extract_min(dd: jax.Array, ids: jax.Array):
     return dmin, imin
 
 
+def _pick_n_seg(tile: int) -> int:
+    """Largest power-of-2 segment count <= 16 whose segments keep full
+    8-sublane rows (segments split the OUTER tile axis of the transposed
+    (tile, bq) distance block, so the 3D view is a free outer-dim split);
+    tiny tiles degenerate to one segment."""
+    n_seg = 16
+    while n_seg > 1 and (tile % n_seg or (tile // n_seg) % 8):
+        n_seg //= 2
+    return n_seg
+
+
+def _rank_insert(nd, ni, cur_d, cur_i, *, k: int):
+    """Merge ``n_seg`` candidates (nd, ni — (S, bq)) into the
+    SORTED-ascending running top-k (cur_d, cur_i — (k, bq)) in one shot,
+    no data-dependent loop.
+
+    Every element's rank in the merged multiset is computed by counting
+    (pairwise compares on (k, S, bq)/(S, S, bq) blocks — tiny next to the
+    (tile, bq) distance block), then rank < k elements scatter into their
+    slot via one-hot masks.  The tie order is a strict total order —
+    current entries by slot, then new candidates by (distance, id) — so
+    ranks are unique and each output slot gets exactly one contributor.
+    Output stays sorted ascending, which keeps the running-worst a slice
+    and makes the final emit a plain copy.
+    """
+    kio = jax.lax.broadcasted_iota(jnp.int32, cur_d.shape, 0)
+    # rank of current slot i = i + #{new candidates strictly closer}
+    # (i counts the lex-smaller current entries BECAUSE cur is sorted)
+    rank_a = kio + jnp.sum(
+        (nd[None, :, :] < cur_d[:, None, :]).astype(jnp.int32), axis=1
+    )
+    # rank of candidate j = #{current <= it} + #{candidates lex-before it}
+    cnt_a = jnp.sum(
+        (cur_d[:, None, :] <= nd[None, :, :]).astype(jnp.int32), axis=0
+    )
+    bl, bj = nd[:, None, :], nd[None, :, :]
+    il, ij = ni[:, None, :], ni[None, :, :]
+    lex_bb = (bl < bj) | ((bl == bj) & (il < ij))
+    rank_b = cnt_a + jnp.sum(lex_bb.astype(jnp.int32), axis=0)
+    k_out = cur_d.shape[0]
+    kio3 = jax.lax.broadcasted_iota(jnp.int32, (k_out, 1, 1), 0)
+    eq_a = rank_a[None, :, :] == kio3  # (k, k, bq)
+    eq_b = rank_b[None, :, :] == kio3  # (k, S, bq)
+    new_d = (
+        jnp.sum(jnp.where(eq_a, cur_d[None, :, :], 0.0), axis=1)
+        + jnp.sum(jnp.where(eq_b, nd[None, :, :], 0.0), axis=1)
+    )
+    new_i = (
+        jnp.sum(jnp.where(eq_a, cur_i[None, :, :], 0), axis=1)
+        + jnp.sum(jnp.where(eq_b, ni[None, :, :], 0), axis=1)
+    )
+    return new_d, new_i
+
+
+def _rank_merge(dd, gids, cur_d, cur_i, *, k: int, n_seg: int):
+    """Fold a tile's distances (TRANSPOSED: (tile, bq)) into the sorted
+    running top-k ((k, bq)).
+
+    Replaces the rescan merge (extract one global min per round, write
+    +inf over the winner, full-block convergence sweep per round — ~10
+    block-sized ops x up-to-k data-dependent rounds).  Here every round
+    extracts ``n_seg`` candidates (the per-segment minima of the
+    (n_seg, seg, bq) view — a FREE outer-dim split of the transposed
+    block; splitting the lane dim instead forces a physical relayout
+    whose scratch copies blow the scoped-vmem budget) in ~4 block-sized
+    ops and folds them in with :func:`_rank_insert`; improving candidates
+    spread across segments, so post-warmup merges converge in one round,
+    and a counting test (is any segment's SECOND remaining candidate
+    below the new worst?) decides continuation without a wasted
+    extraction round.  Later rounds mask the already-extracted
+    per-segment prefix lexicographically — the distance block is never
+    rewritten.
+    """
+    tile, bq = dd.shape
+    seg = tile // n_seg
+    dd3 = dd.reshape(n_seg, seg, bq)
+    gids3 = gids.reshape(n_seg, seg, 1)
+    big = jnp.iinfo(jnp.int32).max
+
+    def extract(v):
+        nd = jnp.min(v, axis=1)  # (S, bq)
+        ni = jnp.min(
+            jnp.where(v == nd[:, None, :], gids3, big), axis=1
+        )
+        return nd, ni
+
+    def more_needed(v, nd, new_d):
+        # continue iff some segment still holds a non-extracted entry
+        # below the new worst: count entries < worst among the remaining
+        # (v is +inf at masked positions), minus the one just extracted
+        w1 = new_d[-1:, :]  # (1, bq)
+        cnt = jnp.sum((v < w1[:, None, :]).astype(jnp.int32), axis=1)
+        return jnp.any(cnt - (nd < w1).astype(jnp.int32) >= 1)
+
+    # round 1: no extraction prefix to mask
+    nd, ni = extract(dd3)
+    cur_d, cur_i = _rank_insert(nd, ni, cur_d, cur_i, k=k)
+    go = more_needed(dd3, nd, cur_d)
+
+    def body(state):
+        it, pd, pid, cd_, ci_, _ = state
+        m = (dd3 > pd[:, None, :]) | (
+            (dd3 == pd[:, None, :]) & (gids3 > pid[:, None, :])
+        )
+        v = jnp.where(m, dd3, jnp.inf)
+        nd, ni = extract(v)
+        cd_, ci_ = _rank_insert(nd, ni, cd_, ci_, k=k)
+        return it + 1, nd, ni, cd_, ci_, more_needed(v, nd, cd_)
+
+    def cond(state):
+        return (state[0] < k) & state[5]
+
+    _, _, _, out_d, out_i, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), nd, ni, cur_d, cur_i, go)
+    )
+    return out_d, out_i
+
+
+def _kernel_rank(q_ref, qn_ref, excl_ref, pts_ref, pn_ref, out_i_ref,
+                 out_d_ref, run_d, run_i, *, k: int, n: int, tile: int,
+                 n_tiles: int, corpus_major: bool):
+    """Transposed-layout kernel for the rank merge: distances live as
+    (tile, bq) so segment splits ride the outer dim.  Queries arrive
+    pre-transposed ((d, bq) block); outputs leave as (k, bq) blocks of a
+    (k, mp) array the host transposes back (tiny).
+
+    CORPUS-MAJOR grid (long streams): (n_tiles, nq_blocks) with the query
+    axis fastest, so the point tile's block index is constant across the
+    inner steps — Mosaic loads each corpus tile ONCE total (the
+    query-major order re-streams the whole corpus per query block;
+    measured at 10M x 96: 78 vs 86 ms).  The running top-k for every
+    query block lives in a (nq_blocks, k, bq) scratch indexed by the
+    query-axis grid position.  Short streams keep query-major: the
+    per-step query-block reloads outweigh the corpus savings there
+    (measured at 20k: 2.7 vs 2.0 ms)."""
+    if corpus_major:
+        t, iq = pl.program_id(0), pl.program_id(1)
+    else:
+        iq, t = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        run_d[iq] = jnp.full(run_d.shape[1:], jnp.inf, run_d.dtype)
+        run_i[iq] = jnp.full(run_i.shape[1:], n, run_i.dtype)
+
+    qb = q_ref[:]  # (d, B) in the compute dtype
+    tile_pts = pts_ref[:]  # (T, d) in the compute dtype
+    base = t * tile
+    gids = base + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)  # (T, 1)
+
+    pn = pn_ref[:]  # (T, 1) f32
+    if jnp.issubdtype(tile_pts.dtype, jnp.integer):
+        dots = jax.lax.dot_general(
+            tile_pts, qb,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        dots = jax.lax.dot_general(
+            tile_pts, qb,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (T, B)
+    dd = qn_ref[:] + pn - 2.0 * dots
+    dd = jnp.where(gids < n, dd, jnp.inf)
+    dd = jnp.where(gids == excl_ref[:], jnp.inf, dd)
+
+    tile_min = jnp.min(dd, axis=0, keepdims=True)  # (1, B)
+    run_worst = jnp.max(run_d[iq], axis=0, keepdims=True)  # (1, B)
+    any_improves = jnp.any(tile_min < run_worst)
+
+    @pl.when(any_improves)
+    def _merge():
+        out_d, out_i = _rank_merge(
+            dd, gids, run_d[iq], run_i[iq], k=k, n_seg=_pick_n_seg(tile)
+        )
+        run_d[iq] = out_d
+        run_i[iq] = out_i
+
+    @pl.when(t == n_tiles - 1)
+    def _emit():
+        # the rank merge keeps the running k sorted ascending: the emit is
+        # a copy, plus the sentinel id for unfilled (+inf) slots
+        d_ = run_d[iq]
+        out_d_ref[:] = d_
+        out_i_ref[:] = jnp.where(jnp.isinf(d_), n, run_i[iq])
+
+
 def _kernel(q_ref, qn_ref, excl_ref, pts_ref, pn_ref, out_i_ref, out_d_ref,
             run_d, run_i, *, k: int, n: int, tile: int, n_tiles: int):
     t = pl.program_id(1)
@@ -317,7 +505,8 @@ def _stream_kernel(q_ref, qn_ref, excl_ref, pts_hbm, pn_hbm, out_i_ref,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "tile", "query_block", "interpret", "compute_dtype", "stream"
+        "k", "tile", "query_block", "interpret", "compute_dtype", "stream",
+        "merge",
     ),
 )
 def exact_knn_pallas(
@@ -332,6 +521,7 @@ def exact_knn_pallas(
     compute_dtype=None,
     scale: jax.Array | None = None,
     stream: bool | None = None,
+    merge: str = "rank",
 ) -> tuple[jax.Array, jax.Array]:
     """Exact k nearest neighbors, fused streaming kernel.
 
@@ -411,7 +601,14 @@ def exact_knn_pallas(
             # VMEM pressure); needs the raised vmem_limit_bytes below
             tile = 8192
     if query_block is None:
-        query_block = 512 if (n >= (1 << 19) and d <= 128) else 256
+        # the rank merge's VMEM appetite (~10 tile-sized stack blocks at a
+        # generous budget) caps tile*bq near 2M f32 elements; bq=256 at
+        # tile=8192 measured faster than bq=512 anyway (fewer rounds per
+        # merge: the round count is a max over the block's rows)
+        query_block = (
+            256 if merge == "rank"
+            else 512 if (n >= (1 << 19) and d <= 128) else 256
+        )
     tile = min(tile, max(8, n))
     n_tiles = math.ceil(n / tile)
     bq = min(query_block, m)
@@ -522,49 +719,114 @@ def exact_knn_pallas(
             dd = dd * (scale * scale).astype(f32)
         return ids, dd
 
-    kernel = functools.partial(
-        _kernel, k=k, n=n, tile=tile, n_tiles=n_tiles
+    if merge not in ("rank", "rescan"):
+        raise ValueError(f"unknown merge style {merge!r}")
+    # the default 16 MB scoped-vmem budget caps tile*bq well below what
+    # the 128 MB VMEM allows; size the limit from the actual tenants
+    vmem_limit = min(
+        # rank merge: the (n_seg, seg, bq) view + the mask/select
+        # temporaries.  The stack allocator's demand GROWS with the
+        # budget (measured: wants 34.5 MB under a 32.6 limit, 44.1
+        # under 36.6) — give it generous headroom instead of chasing
+        # the minimum; rescan: 2 live (bq, tile) blocks through the
+        # while carry
+        (8 if merge == "rank" else 2) * bq * tile * 4
+        + 2 * tile * d * cdt.itemsize
+        # selection state: running (bq, k) pairs, the emit-phase
+        # slices, and while-carry duplicates (measured: k=100 at
+        # bq=512/tile=8192 needs ~52 MB total)
+        + 2 * bq * (d + 16 * k + 8) * 4
+        + (12 << 20),
+        110 << 20,
     )
-    out_i, out_d = pl.pallas_call(
-        kernel,
-        grid=(nq_blocks, n_tiles),
-        in_specs=[
-            pl.BlockSpec((bq, d), lambda qb, t: (qb, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bq, 1), lambda qb, t: (qb, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bq, 1), lambda qb, t: (qb, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, d), lambda qb, t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda qb, t: (0, t), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((bq, k), lambda qb, t: (qb, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bq, k), lambda qb, t: (qb, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((mp, k), jnp.int32),
-            jax.ShapeDtypeStruct((mp, k), f32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((bq, k), f32),
-            pltpu.VMEM((bq, k), jnp.int32),
-        ],
-        # the default 16 MB scoped-vmem budget caps tile*bq well below what
-        # the 128 MB VMEM allows; size the limit from the actual tenants
-        # (2 live (bq, tile) f32 distance blocks in the k-round merge + 2
-        # double-buffered point tiles + small fixed blocks)
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(
-                2 * bq * tile * 4
-                + 2 * tile * d * cdt.itemsize
-                # selection state: running (bq, k) pairs, the emit-phase
-                # slices, and while-carry duplicates (measured: k=100 at
-                # bq=512/tile=8192 needs ~52 MB total)
-                + 2 * bq * (d + 16 * k + 8) * 4
-                + (12 << 20),
-                100 << 20,
+    if merge == "rank":
+        # transposed layout: distances live (tile, bq) in-kernel so the
+        # segment view splits the outer dim (free); queries go in
+        # pre-transposed and the (k, mp) outputs transpose back (tiny)
+        # corpus-major (query blocks iterate fastest; each point tile
+        # DMA'd once total) pays off once the corpus stream is long;
+        # short streams lose more to per-step query-block reloads
+        corpus_major = n_tiles >= 32
+        kernel = functools.partial(
+            _kernel_rank, k=k, n=n, tile=tile, n_tiles=n_tiles,
+            corpus_major=corpus_major,
+        )
+        if corpus_major:
+            grid = (n_tiles, nq_blocks)
+
+            def qmap(t, iq):
+                return (0, iq)
+
+            def pmap(t, iq):
+                return (t, 0)
+        else:
+            grid = (nq_blocks, n_tiles)
+
+            def qmap(iq, t):
+                return (0, iq)
+
+            def pmap(iq, t):
+                return (t, 0)
+
+        out_i_t, out_d_t = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((d, bq), qmap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq), qmap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq), qmap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, d), pmap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 1), pmap, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((k, bq), qmap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, bq), qmap, memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((k, mp), jnp.int32),
+                jax.ShapeDtypeStruct((k, mp), f32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((nq_blocks, k, bq), f32),
+                pltpu.VMEM((nq_blocks, k, bq), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit,
             ),
-        ),
-        interpret=interpret,
-    )(qp.astype(cdt), qn, ep, pts_c, pn_full)
+            interpret=interpret,
+        )(qp.astype(cdt).T, qn.T, ep.T, pts_c, pn_full.T)
+        out_i, out_d = out_i_t.T, out_d_t.T
+    else:
+        kernel = functools.partial(
+            _kernel, k=k, n=n, tile=tile, n_tiles=n_tiles
+        )
+        out_i, out_d = pl.pallas_call(
+            kernel,
+            grid=(nq_blocks, n_tiles),
+            in_specs=[
+                pl.BlockSpec((bq, d), lambda qb, t: (qb, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bq, 1), lambda qb, t: (qb, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bq, 1), lambda qb, t: (qb, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, d), lambda qb, t: (t, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), lambda qb, t: (0, t), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((bq, k), lambda qb, t: (qb, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bq, k), lambda qb, t: (qb, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((mp, k), jnp.int32),
+                jax.ShapeDtypeStruct((mp, k), f32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bq, k), f32),
+                pltpu.VMEM((bq, k), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit,
+            ),
+            interpret=interpret,
+        )(qp.astype(cdt), qn, ep, pts_c, pn_full)
     ids = out_i[:m].astype(itype)
     dd = out_d[:m]
     if quant:
