@@ -168,9 +168,9 @@ def _rank_merge(dd, gids, cur_d, cur_i, *, k: int, n_seg: int):
     return out_d, out_i
 
 
-def _kernel_rank(q_ref, qn_ref, excl_ref, pts_ref, pn_ref, out_i_ref,
+def _kernel_rank(q_ref, qn_ref, excl_ref, pts_ref, out_i_ref,
                  out_d_ref, run_d, run_i, *, k: int, n: int, tile: int,
-                 n_tiles: int, corpus_major: bool):
+                 n_tiles: int, corpus_major: bool, has_excl: bool):
     """Transposed-layout kernel for the rank merge: distances live as
     (tile, bq) so segment splits ride the outer dim.  Queries arrive
     pre-transposed ((d, bq) block); outputs leave as (k, bq) blocks of a
@@ -200,7 +200,12 @@ def _kernel_rank(q_ref, qn_ref, excl_ref, pts_ref, pn_ref, out_i_ref,
     base = t * tile
     gids = base + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)  # (T, 1)
 
-    pn = pn_ref[:]  # (T, 1) f32
+    # point norms computed in-kernel from the stored tile (one fused
+    # upcast-square-sum; exact for int8 since sums stay < 2^24).  The
+    # hoisted (np_pad, 1) input the first version streamed instead pads
+    # 128x under (8, 128) tiling — 15 GB of HBM at 32M rows.
+    ptf = tile_pts.astype(jnp.float32)
+    pn = jnp.sum(ptf * ptf, axis=-1, keepdims=True)  # (T, 1) f32
     if jnp.issubdtype(tile_pts.dtype, jnp.integer):
         dots = jax.lax.dot_general(
             tile_pts, qb,
@@ -215,7 +220,11 @@ def _kernel_rank(q_ref, qn_ref, excl_ref, pts_ref, pn_ref, out_i_ref,
         )  # (T, B)
     dd = qn_ref[:] + pn - 2.0 * dots
     dd = jnp.where(gids < n, dd, jnp.inf)
-    dd = jnp.where(gids == excl_ref[:], jnp.inf, dd)
+    if has_excl:
+        # compile-time specialization: serving passes no exclusions (only
+        # the self-excluding graph build does), and this mask is two full
+        # (T, B) sweeps of mandatory per-step work
+        dd = jnp.where(gids == excl_ref[:], jnp.inf, dd)
 
     tile_min = jnp.min(dd, axis=0, keepdims=True)  # (1, B)
     run_worst = jnp.max(run_d[iq], axis=0, keepdims=True)  # (1, B)
@@ -533,10 +542,18 @@ def exact_knn_pallas(
 
     ``compute_dtype``: dtype the MXU dot runs in (default float32).
     ``jnp.bfloat16`` halves the point-stream bytes and raises the MXU rate
-    several-fold on TPU; accumulation stays f32 and the norm terms are
-    computed from the unrounded inputs, so only the factors are rounded —
-    at 1M-scale the nearest-neighbor sets are near-identical (gated by
-    tests/test_pallas.py).
+    several-fold on TPU; accumulation stays f32.  The default rank path
+    computes point norms in-kernel from the values it streams (for a
+    STORED bf16/int8 corpus that is exactly the stored data; under an
+    in-jit ``compute_dtype`` conversion the norms see the rounded
+    factors) — at 1M-scale the nearest-neighbor sets are near-identical
+    to f32 either way (gated by tests/test_pallas.py).
+
+    ``merge``: running top-k maintenance style — "rank" (default; sorted
+    running state, n_seg-way segment extraction + counting-rank insert,
+    corpus-major grid on long streams) or "rescan" (the round-1 form:
+    one global-min extraction per round with block rewrites).  Identical
+    results; rank measured 1.07-1.7x faster everywhere (BASELINE.md).
 
     **int8 storage tier**: ``points`` int8 with ``scale`` (the () f32
     symmetric-quantization step, rows = round(x / scale) in [-127, 127],
@@ -582,6 +599,7 @@ def exact_knn_pallas(
     # the norm reduce below upcasts per-element inside the fused reduction
     pts_c = points if points.dtype == cdt else points.astype(cdt)
     queries = queries.astype(f32)
+    has_excl = exclude is not None
     if exclude is None:
         exclude = jnp.full((m,), _NEG1, jnp.int32)
     exclude = exclude.astype(jnp.int32)
@@ -597,9 +615,13 @@ def exact_knn_pallas(
         tile = max(512, min(4096, (4 << 20) // (4 * max(d, 64))))
         if n >= (1 << 19) and d <= 128:
             # step-count-bound regime (measured 1M sweep: bq 512/tile 8192
-            # = 20.5 ms vs 36 ms at tile 4096; 16k/32k tiles regress —
-            # VMEM pressure); needs the raised vmem_limit_bytes below
-            tile = 8192
+            # = 20.5 ms vs 36 ms at tile 4096; 16k/32k f32 tiles regress —
+            # VMEM pressure); needs the raised vmem_limit_bytes below.
+            # Sub-4-byte storage halves/quarters the tile stream, so the
+            # step count binds sooner: 16384 measured 52.1 vs 64.0 ms for
+            # bf16 at 10M (scripts/exp_int8_tiles.py); int8 is flat
+            # between 8192 and 16384, and 16384 keeps its DDs in budget.
+            tile = 8192 if cdt.itemsize == 4 else 16384
     if query_block is None:
         # the rank merge's VMEM appetite (~10 tile-sized stack blocks at a
         # generous budget) caps tile*bq near 2M f32 elements; bq=256 at
@@ -655,12 +677,15 @@ def exact_knn_pallas(
     ep = pad_rows(exclude[:, None], _NEG1)
     # norms in f32 from the stored values (upcast fuses into the reduce;
     # no widened corpus copy), padded to the tile grid so the (1, tile)
-    # block never reads out of bounds
-    pf = points.astype(f32)
-    pn_full = jnp.sum(pf * pf, axis=-1)[None, :]
-    np_pad = (n + pad_rows_128) if stream else n_tiles * tile
-    if np_pad != n:
-        pn_full = jnp.pad(pn_full, [(0, 0), (0, np_pad - n)])
+    # block never reads out of bounds.  The rank path computes norms
+    # in-kernel instead (no layout that avoids tiling blow-up exists for
+    # a hoisted per-point column in the transposed kernel).
+    if stream or merge != "rank":
+        pf = points.astype(f32)
+        pn_full = jnp.sum(pf * pf, axis=-1)[None, :]
+        np_pad = (n + pad_rows_128) if stream else n_tiles * tile
+        if np_pad != n:
+            pn_full = jnp.pad(pn_full, [(0, 0), (0, np_pad - n)])
 
     if stream:
         n_rows = n + pad_rows_128
@@ -749,7 +774,7 @@ def exact_knn_pallas(
         corpus_major = n_tiles >= 32
         kernel = functools.partial(
             _kernel_rank, k=k, n=n, tile=tile, n_tiles=n_tiles,
-            corpus_major=corpus_major,
+            corpus_major=corpus_major, has_excl=has_excl,
         )
         if corpus_major:
             grid = (n_tiles, nq_blocks)
@@ -776,7 +801,6 @@ def exact_knn_pallas(
                 pl.BlockSpec((1, bq), qmap, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, bq), qmap, memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile, d), pmap, memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, 1), pmap, memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((k, bq), qmap, memory_space=pltpu.VMEM),
@@ -794,7 +818,7 @@ def exact_knn_pallas(
                 vmem_limit_bytes=vmem_limit,
             ),
             interpret=interpret,
-        )(qp.astype(cdt).T, qn.T, ep.T, pts_c, pn_full.T)
+        )(qp.astype(cdt).T, qn.T, ep.T, pts_c)
         out_i, out_d = out_i_t.T, out_d_t.T
     else:
         kernel = functools.partial(
