@@ -319,7 +319,7 @@ _search_packed_jit = partial(
 def search_packed_fused_impl(pi: PackedIndex, points, queries,
                              n_probes: int | None = None,
                              window: int | None = None,
-                             query_block: int = 16,
+                             query_block: int = 32,
                              interpret: bool = False,
                              supercharge_rounds: int = 1,
                              rerank_width: int | None = None):
@@ -440,7 +440,7 @@ def search_packed_fused(
     *,
     n_probes: int | None = None,
     window: int | None = None,
-    query_block: int = 16,
+    query_block: int = 32,
     interpret: bool = False,
     supercharge_rounds: int = 1,
     rerank_width: int | None = None,

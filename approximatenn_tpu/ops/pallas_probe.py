@@ -46,10 +46,19 @@ from ..config import itype
 # does not catch it).  Stay at the measured-good point.
 _DMA_INFLIGHT_MAX = 384
 
+# Query-tile ceiling.  Grid steps cost ~10 us each on this runtime (rule
+# 11), so fatter query tiles pay: bq=32 measured +5-8% QPS over bq=16 at
+# P=18 (scripts/exp_probe_attrib.py bq, /tmp/attrib_bq.log 2026-08-19).
+# bq=64 fails Mosaic compile outright at small L (P=18, w=40, VMEM well
+# under budget — the unrolled 2*bq*P_wave copy program, not memory) and
+# is VMEM-shrunk back to 32 at large L, so 32 is both the measured
+# optimum and the compile-safe ceiling.
+_BQ_MAX = 32
+
 
 def _kernel(q_ref, ss_ref, sv_ref, pts_hbm, out_p_ref, out_d_ref, win, sems,
             *, k: int, n: int, n_pad: int, window: int, P: int, bq: int,
-            P_wave: int, align: int):
+            P_wave: int, align: int, pos_mode: str = "select"):
     t = pl.program_id(1)
 
     # one DMA per (query, probe): the probe's CSR window, direct from HBM.
@@ -96,13 +105,22 @@ def _kernel(q_ref, ss_ref, sv_ref, pts_hbm, out_p_ref, out_d_ref, win, sems,
     sv = sv_ref[:, t, :] * align  # (bq, P) window starts (/align) for table t
     L = P * window
     j = jax.lax.broadcasted_iota(jnp.int32, (bq, L), 1)
-    pos = jnp.zeros((bq, L), jnp.int32)
-    for p in range(P):
-        pos = jnp.where(
-            (j >= p * window) & (j < (p + 1) * window),
-            sv[:, p : p + 1] + (j - p * window),
-            pos,
-        )
+    if pos_mode == "stub":
+        # measurement-only (scripts/exp_probe_attrib.py): lane index as the
+        # positional id — WRONG ids/dedup, identical op volume with the
+        # select chain removed; isolates the chain's VPU cost.  A one-hot
+        # MXU matmul replacement was tried and measured broken+slower
+        # (default matmul precision rounds f32 starts via bf16 — CLAUDE.md
+        # rule 4 — and it lost ~15% QPS even so, /tmp/fused_ab_r2.log).
+        pos = j
+    else:
+        pos = jnp.zeros((bq, L), jnp.int32)
+        for p in range(P):
+            pos = jnp.where(
+                (j >= p * window) & (j < (p + 1) * window),
+                sv[:, p : p + 1] + (j - p * window),
+                pos,
+            )
     dd = jnp.where(pos < n, dd, jnp.inf)
 
     big = jnp.iinfo(jnp.int32).max
@@ -121,7 +139,9 @@ def _kernel(q_ref, ss_ref, sv_ref, pts_hbm, out_p_ref, out_d_ref, win, sems,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "n", "n_pad", "window", "query_block", "interpret"),
+    static_argnames=(
+        "k", "n", "n_pad", "window", "query_block", "interpret", "pos_mode",
+    ),
 )
 def probe_topk_pallas(
     pts_flat: jax.Array,
@@ -132,8 +152,9 @@ def probe_topk_pallas(
     n: int,
     n_pad: int,
     window: int,
-    query_block: int = 16,
+    query_block: int = 32,
     interpret: bool = False,
+    pos_mode: str = "select",
 ) -> tuple[jax.Array, jax.Array]:
     """Per-table probe-window top-k over the packed CSR layout.
 
@@ -178,8 +199,9 @@ def probe_topk_pallas(
     window = min(-(-(window + align - 1) // align) * align, n_pad)
     starts = jnp.clip(starts // align, 0, (n_pad - window) // align)
     # a wave is bq * P_wave >= bq copies, so bq itself must stay under the
-    # in-flight cap whatever query_block the caller asks for
-    bq = min(query_block, m, _DMA_INFLIGHT_MAX)
+    # in-flight cap whatever query_block the caller asks for; _BQ_MAX is
+    # the measured compile-safe ceiling (see its comment)
+    bq = min(query_block, m, _BQ_MAX)
     # The query block is a VMEM BlockSpec tile: its sublane dim must be
     # 8-divisible (or equal to the whole array) — bq = 12 fails Mosaic's
     # block-shape check even though 8 and 16 pass.
@@ -209,9 +231,11 @@ def probe_topk_pallas(
     # int8 rows stream quantized; the query block stays f32 (casting the
     # query to int8 would destroy it — the caller pre-scales by 1/scale)
     qdt = jnp.dtype(jnp.float32) if cdt == jnp.int8 else cdt
+    if pos_mode not in ("select", "stub"):
+        raise ValueError(f"pos_mode must be 'select' or 'stub', got {pos_mode!r}")
     kernel = functools.partial(
         _kernel, k=k, n=n, n_pad=n_pad, window=window, P=P, bq=bq,
-        P_wave=P_wave, align=align,
+        P_wave=P_wave, align=align, pos_mode=pos_mode,
     )
     out_p, out_d = pl.pallas_call(
         kernel,

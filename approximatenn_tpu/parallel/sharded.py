@@ -427,7 +427,7 @@ def search_packed_fused_sharded(
     mesh: Mesh,
     n_probes: int | None = None,
     window: int | None = None,
-    query_block: int = 16,
+    query_block: int = 32,
     supercharge_rounds: int = 1,
     rerank_width: int | None = None,
     interpret: bool | None = None,
