@@ -120,6 +120,31 @@ def test_kernel_wave_and_alignment_envelope(setup):
     np.testing.assert_array_equal(got, want)
 
 
+def test_query_block_ceiling_and_pos_mode(setup):
+    """query_block is capped at the measured compile-safe ceiling
+    (_BQ_MAX=32: bq=64 fails Mosaic real-TPU compiles at small L), and
+    results are invariant to the query tile; pos_mode rejects unknown
+    values ("stub" is measurement-only, scripts/exp_probe_attrib.py)."""
+    X, Y, index, pv = setup
+    rng = np.random.default_rng(7)
+    n_pad = pv.n_rows * pv.super_width
+    window, P = 16, 4
+    m = Y.shape[0]
+    starts = jnp.asarray(
+        rng.integers(0, max(1, n_pad - 2 * window), (m, pv.tries, P)),
+        jnp.int32,
+    )
+    pts_flat = pv.point_rows.reshape(pv.tries * n_pad, pv.lane_dim)
+    Yp = jnp.pad(Y, [(0, 0), (0, pv.lane_dim - pv.d)])
+    kw = dict(k=pv.k, n=pv.n, n_pad=n_pad, window=window, interpret=True)
+    p16, d16 = probe_topk_pallas(pts_flat, Yp, starts, query_block=16, **kw)
+    p64, d64 = probe_topk_pallas(pts_flat, Yp, starts, query_block=64, **kw)
+    np.testing.assert_array_equal(np.asarray(p16), np.asarray(p64))
+    np.testing.assert_array_equal(np.asarray(d16), np.asarray(d64))
+    with pytest.raises(ValueError, match="pos_mode"):
+        probe_topk_pallas(pts_flat, Yp, starts, pos_mode="bogus", **kw)
+
+
 def test_fused_end_to_end_recall(setup):
     X, Y, index, pv = setup
     ids_f, dd_f = search_packed_fused(pv, queries=Y, interpret=True)
