@@ -5,7 +5,7 @@ Role in the reference: none — its only serving surface is ``query``
 the measured landscape is richer (BASELINE.md):
 
 - **exact** — the fused Pallas MXU kernel (`ops/pallas_exact`): recall 1.0
-  at 650k QPS (20k pts) to 48.6k QPS (1M pts) on one v5e chip.  Because
+  at ~1.06M QPS (20k pts) to 165k QPS (1M pts) on one v5e chip.  Because
   XLA's candidate gather tops out near ~250M rows/s while the MXU scans
   ~50M points/ms, exhaustive search dominates the hash path well past 1M
   points per chip ("the gather wall", docs/ARCHITECTURE.md).

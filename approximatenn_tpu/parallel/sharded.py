@@ -498,7 +498,7 @@ def search_exact_sharded(points, queries, k: int, *, mesh: Mesh,
     """Distributed exact kNN: per-shard exact search + all_gather merge.
     Equals global brute force exactly (each shard's local top-k contains
     every true global top-k member residing on that shard).  Per-shard
-    engine: the fused Pallas streaming kernel on TPU (48.6k QPS at 1M on
+    engine: the fused Pallas streaming kernel on TPU (165k QPS at 1M on
     ONE v5e chip — n scales linearly with shard count), XLA brute force
     on CPU meshes.
 
