@@ -104,7 +104,8 @@ def _rank_insert(nd, ni, cur_d, cur_i, *, k: int):
     return new_d, new_i
 
 
-def _rank_merge(dd, gids, cur_d, cur_i, *, k: int, n_seg: int):
+def _rank_merge(dd, gids, cur_d, cur_i, *, k: int, n_seg: int,
+                nd0=None):
     """Fold a tile's distances (TRANSPOSED: (tile, bq)) into the sorted
     running top-k ((k, bq)).
 
@@ -122,6 +123,11 @@ def _rank_merge(dd, gids, cur_d, cur_i, *, k: int, n_seg: int):
     extraction round.  Later rounds mask the already-extracted
     per-segment prefix lexicographically — the distance block is never
     rewritten.
+
+    ``nd0``: round-1 per-segment minima, when the caller already computed
+    them (the kernel's merge trigger needs them anyway — reusing them
+    saves one full-block reduce per merging step, and at serving batch
+    sizes nearly every step merges).
     """
     tile, bq = dd.shape
     seg = tile // n_seg
@@ -129,8 +135,9 @@ def _rank_merge(dd, gids, cur_d, cur_i, *, k: int, n_seg: int):
     gids3 = gids.reshape(n_seg, seg, 1)
     big = jnp.iinfo(jnp.int32).max
 
-    def extract(v):
-        nd = jnp.min(v, axis=1)  # (S, bq)
+    def extract(v, nd=None):
+        if nd is None:
+            nd = jnp.min(v, axis=1)  # (S, bq)
         ni = jnp.min(
             jnp.where(v == nd[:, None, :], gids3, big), axis=1
         )
@@ -145,7 +152,7 @@ def _rank_merge(dd, gids, cur_d, cur_i, *, k: int, n_seg: int):
         return jnp.any(cnt - (nd < w1).astype(jnp.int32) >= 1)
 
     # round 1: no extraction prefix to mask
-    nd, ni = extract(dd3)
+    nd, ni = extract(dd3, nd0)
     cur_d, cur_i = _rank_insert(nd, ni, cur_d, cur_i, k=k)
     go = more_needed(dd3, nd, cur_d)
 
@@ -169,8 +176,9 @@ def _rank_merge(dd, gids, cur_d, cur_i, *, k: int, n_seg: int):
 
 
 def _kernel_rank(q_ref, qn_ref, excl_ref, pts_ref, out_i_ref,
-                 out_d_ref, run_d, run_i, *, k: int, n: int, tile: int,
-                 n_tiles: int, corpus_major: bool, has_excl: bool):
+                 out_d_ref, run_d, run_i, *, k: int, n: int,
+                 tile: int, n_tiles: int, corpus_major: bool,
+                 has_excl: bool):
     """Transposed-layout kernel for the rank merge: distances live as
     (tile, bq) so segment splits ride the outer dim.  Queries arrive
     pre-transposed ((d, bq) block); outputs leave as (k, bq) blocks of a
@@ -184,7 +192,20 @@ def _kernel_rank(q_ref, qn_ref, excl_ref, pts_ref, out_i_ref,
     query block lives in a (nq_blocks, k, bq) scratch indexed by the
     query-axis grid position.  Short streams keep query-major: the
     per-step query-block reloads outweigh the corpus savings there
-    (measured at 20k: 2.7 vs 2.0 ms)."""
+    (measured at 20k: 2.7 vs 2.0 ms).
+
+    VPU passes are what bind this kernel at scale (the (tile, bq)
+    distance volume is n x m elements regardless of dtype or tiling), so
+    per-step full-block sweeps are minimized: the trigger reduce doubles
+    as the merge's round-1 segment extraction (nd0).  Two attributed
+    negative results at 10M x 96 / m=1000: (a) a LAZY distance block
+    (materialize dd only when some row improves) measured SLOWER — a
+    top-k-of-n stream improves some block row on nearly every tile
+    (~k·ln(n) improving points per query), so the merge branch always
+    runs and laziness just re-derives dd (72.5 vs 59.8 ms f32); (b)
+    hoisting point norms into a per-tile scratch written at iq == 0
+    also measured slower (the conditional write+read serializes the
+    cross-step pipeline), so norms stay inline."""
     if corpus_major:
         t, iq = pl.program_id(0), pl.program_id(1)
     else:
@@ -204,6 +225,11 @@ def _kernel_rank(q_ref, qn_ref, excl_ref, pts_ref, out_i_ref,
     # upcast-square-sum; exact for int8 since sums stay < 2^24).  The
     # hoisted (np_pad, 1) input the first version streamed instead pads
     # 128x under (8, 128) tiling — 15 GB of HBM at 32M rows.
+    # NOTE: hoisting this into a (tile, 1) scratch written at iq == 0
+    # (corpus-major: the tile is constant across inner steps) measured
+    # SLOWER end-to-end at 10M x 96 — the conditional scratch write +
+    # read serializes Mosaic's cross-step pipelining for more than the
+    # (tile, d) reduce costs.  Keep it inline.
     ptf = tile_pts.astype(jnp.float32)
     pn = jnp.sum(ptf * ptf, axis=-1, keepdims=True)  # (T, 1) f32
     if jnp.issubdtype(tile_pts.dtype, jnp.integer):
@@ -222,18 +248,25 @@ def _kernel_rank(q_ref, qn_ref, excl_ref, pts_ref, out_i_ref,
     dd = jnp.where(gids < n, dd, jnp.inf)
     if has_excl:
         # compile-time specialization: serving passes no exclusions (only
-        # the self-excluding graph build does), and this mask is two full
-        # (T, B) sweeps of mandatory per-step work
+        # the self-excluding graph build does), and this mask is a full
+        # (T, B) sweep of mandatory per-step work
         dd = jnp.where(gids == excl_ref[:], jnp.inf, dd)
 
-    tile_min = jnp.min(dd, axis=0, keepdims=True)  # (1, B)
+    # the trigger reduce IS the merge's round-1 segment extraction: one
+    # (n_seg, seg, B) min pass yields both the tile minima (trigger) and
+    # the round-1 candidates (passed as nd0).  At serving batch sizes a
+    # block-wide ``any`` fires on nearly every tile (a top-k-of-n stream
+    # has ~k·ln(n) improving points per query, spread across hundreds of
+    # tiles), so a separate full-block trigger sweep is pure overhead.
+    n_seg = _pick_n_seg(tile)
+    nd0 = jnp.min(dd.reshape(n_seg, tile // n_seg, -1), axis=1)  # (S, B)
     run_worst = jnp.max(run_d[iq], axis=0, keepdims=True)  # (1, B)
-    any_improves = jnp.any(tile_min < run_worst)
+    any_improves = jnp.any(nd0 < run_worst)
 
     @pl.when(any_improves)
     def _merge():
         out_d, out_i = _rank_merge(
-            dd, gids, run_d[iq], run_i[iq], k=k, n_seg=_pick_n_seg(tile)
+            dd, gids, run_d[iq], run_i[iq], k=k, n_seg=n_seg, nd0=nd0
         )
         run_d[iq] = out_d
         run_i[iq] = out_i
