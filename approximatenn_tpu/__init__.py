@@ -20,6 +20,7 @@ from .config import ftype, itype, set_ftype
 from .engine.build import build, build_graph_only
 from .engine.search import search, search_packed, search_packed_fused
 from .engine.serving import Server
+from .engine.tuning import TuneReport, tune
 from .index import ANNIndex, PackedIndex
 from .ops.distance import brute_force_knn, brute_force_knn_self
 from .ops.pallas_exact import exact_search, quantize_corpus
@@ -63,5 +64,5 @@ __all__ = [
     "ANNIndex", "PackedIndex", "Server", "build", "build_graph_only",
     "search", "search_packed", "search_packed_fused", "precomp", "query",
     "brute_force_knn", "brute_force_knn_self", "exact_search",
-    "quantize_corpus", "ftype", "itype", "set_ftype",
+    "quantize_corpus", "ftype", "itype", "set_ftype", "tune", "TuneReport",
 ]

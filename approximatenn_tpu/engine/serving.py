@@ -169,6 +169,7 @@ class Server:
                 )
             return exact_search(self.points, queries, k,
                                 **{**self._search_kw, **kw})
+        kw = {**self._search_kw, **kw}  # pinned knobs (e.g. tuned rerank)
         kw.setdefault("n_probes", self.n_probes)
         if self.packed is not None:
             queries = jnp.asarray(queries)

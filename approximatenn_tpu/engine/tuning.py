@@ -1,0 +1,272 @@
+"""Operating-point auto-tuner: pick the serving config for a recall target.
+
+Role in the reference: none — its operating point is whatever flags the
+caller hand-picks (``/root/reference/ann.h:46-65`` exposes tries/rotation
+counts and nothing chooses them).  On TPU the measured landscape has real
+choices (BASELINE.md): the exact MXU engine (recall 1.0, wins outright to
+millions of points), the packed/fused hash path (n_probes x window x
+rerank_width frontier), and the table path.  ``tune()`` walks that
+landscape on a held-out query sample against the exact oracle and returns
+the cheapest configuration meeting the recall target.
+
+Design notes (TPU-first):
+
+- One index build + one pack serve every hash trial: ``with_window`` is a
+  query-time knob (free), ``n_probes``/``rerank_width`` are trace-time
+  arguments.  The tuner never rebuilds per trial.
+- Two passes: a recall pass (one batch per config — this also compiles),
+  then a throughput pass over only the configs that met the target (warm
+  programs, fence-timed).  Recall is data-dependent but cheap; QPS is
+  expensive to measure, so losers never get timed.
+- Timing fences through a device->host read (``utils.profiling.fence``) —
+  ``jax.block_until_ready`` is unreliable on remote-attached runtimes.
+- Off-accelerator (CPU tests) ``measure=False`` ranks survivors by a
+  deterministic cost proxy (candidate rows scanned) instead of wall time,
+  so the tuner's logic is testable on the virtual mesh.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..harness.scoring import recall_at_k
+from ..utils.profiling import fence
+
+DEFAULT_PROBE_GRID = (None, 12, 18, 24)  # None = blind Hamming-1 set
+DEFAULT_WINDOW_GRID = (8, 16, 32)
+DEFAULT_RERANK_GRID = (None, 30)
+
+
+@dataclass
+class Trial:
+    """One evaluated operating point."""
+
+    engine: str  # "exact" | "packed" | "table"
+    knobs: dict
+    recall: float
+    cost: float  # candidate rows scanned per query (proxy; 0 order = cheap)
+    qps: float | None = None  # fenced, measured only for target-meeting configs
+
+    def as_dict(self) -> dict:
+        return {
+            "engine": self.engine,
+            **self.knobs,
+            "recall": round(self.recall, 4),
+            "cost_rows": self.cost,
+            "qps": None if self.qps is None else round(self.qps, 1),
+        }
+
+
+@dataclass
+class TuneReport:
+    """Everything ``tune()`` learned, plus the pieces to serve with."""
+
+    best: Trial
+    trials: list[Trial]
+    k: int
+    metric: str
+    target_recall: float
+    measured: bool
+    _points: Any = field(repr=False, default=None)
+    _index: Any = field(repr=False, default=None)
+    _packed: Any = field(repr=False, default=None)
+
+    def server(self):
+        """A ready :class:`~approximatenn_tpu.engine.serving.Server` pinned
+        to the winning operating point (reuses the tuner's build/pack —
+        nothing is rebuilt)."""
+        from .serving import Server
+
+        if self.best.engine == "exact":
+            return Server.build(self._points, self.k, mode="exact",
+                                metric=self.metric)
+        srv = Server(points=self._points, k=self.k, mode="hash",
+                     metric=self.metric, index=self._index,
+                     n_probes=self.best.knobs.get("n_probes"))
+        rw = self.best.knobs.get("rerank_width")
+        if rw is not None:
+            srv._search_kw["rerank_width"] = rw
+        if self.best.engine == "packed":
+            srv.packed = self._packed.with_window(self.best.knobs["window"])
+        return srv
+
+    def as_dict(self) -> dict:
+        return {
+            "best": self.best.as_dict(),
+            "k": self.k,
+            "metric": self.metric,
+            "target_recall": self.target_recall,
+            "measured": self.measured,
+            "trials": [t.as_dict() for t in self.trials],
+        }
+
+
+def _sample_queries(points, n_queries: int, seed: int) -> jnp.ndarray:
+    """Held-out-ish sample: corpus rows + 5%-of-std jitter (deterministic).
+    Real query logs are better — pass them via ``queries=``."""
+    pts = np.asarray(points[: min(points.shape[0], 65536)], np.float32)
+    rng = np.random.default_rng(seed ^ 0x5EED)
+    rows = rng.choice(pts.shape[0], size=min(n_queries, pts.shape[0]),
+                      replace=False)
+    q = pts[rows]
+    q = q + 0.05 * pts.std(axis=0) * rng.standard_normal(q.shape)
+    return jnp.asarray(q.astype(np.float32))
+
+
+def _measure_qps(fn, m: int, target_s: float = 0.3) -> float:
+    """Fence-timed throughput of an already-compiled call."""
+    t0 = time.perf_counter()
+    fence(fn())
+    dt = max(time.perf_counter() - t0, 1e-5)
+    reps = max(1, min(50, int(target_s / dt)))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = fn()
+    fence(out)
+    return m * reps / (time.perf_counter() - t0)
+
+
+def tune(
+    points,
+    k: int,
+    *,
+    queries=None,
+    n_queries: int = 256,
+    target_recall: float = 0.9,
+    metric: str = "l2",
+    include_exact: bool = True,
+    include_table: bool = False,
+    probe_grid=DEFAULT_PROBE_GRID,
+    window_grid=DEFAULT_WINDOW_GRID,
+    rerank_grid=DEFAULT_RERANK_GRID,
+    measure: bool | None = None,
+    seed: int = 0,
+    verbose: bool = False,
+    **build_kw,
+) -> TuneReport:
+    """Search the serving-knob space for the cheapest config meeting
+    ``target_recall`` (recall@k vs the exact oracle on a query sample).
+
+    Returns a :class:`TuneReport`; ``report.server()`` is a Server pinned
+    to the winner.  ``queries``: a sample of real queries (recommended);
+    synthesized from the corpus when absent.  ``measure=None`` auto-times
+    on accelerators and falls back to the candidate-rows cost proxy on
+    CPU.  ``**build_kw`` reaches the one hash build (tries, capacity, ...).
+
+    The winner is the max-QPS (measured) or min-cost (proxy) trial with
+    recall >= target; if none qualifies, the max-recall trial.
+    """
+    from ..ops.pallas_exact import exact_search
+    from .build import build
+    from .search import search, search_packed
+
+    points = jnp.asarray(points)
+    if points.dtype != jnp.float32:
+        points = points.astype(jnp.float32)
+    n = points.shape[0]
+    if queries is None:
+        queries = _sample_queries(points, n_queries, seed)
+    else:
+        queries = jnp.asarray(queries, jnp.float32)
+    m = queries.shape[0]
+    if measure is None:
+        measure = all(d.platform != "cpu" for d in points.devices())
+
+    # metric preprocessing once, shared by oracle and every trial
+    if metric != "l2":
+        from ..data.preprocess import prepare_points
+
+        pts_m = prepare_points(points, metric)
+        q_m = prepare_points(queries, metric)
+    else:
+        pts_m, q_m = points, queries
+
+    true_ids, _ = exact_search(pts_m, q_m, k)
+    true_ids = np.asarray(true_ids)
+
+    # one build + one pack serve all hash trials
+    index, _, _ = build(points, k, metric=metric, seed=seed,
+                        store_points=True, **build_kw)
+    packed = index.packed(window=max(window_grid))
+    sw = packed.super_width
+
+    trials: list[Trial] = []
+
+    def note(t: Trial):
+        trials.append(t)
+        if verbose:
+            print(f"  {t.engine:6s} {t.knobs} recall={t.recall:.3f} "
+                  f"cost={t.cost:.0f}")
+
+    runners: list[tuple[Trial, Any]] = []  # (trial, replayable thunk)
+
+    if include_exact and k <= 128:
+        def run_exact():
+            return exact_search(pts_m, q_m, k)
+
+        ids, _ = run_exact()
+        t = Trial("exact", {}, recall_at_k(true_ids, np.asarray(ids), k),
+                  cost=float(n))
+        note(t)
+        runners.append((t, run_exact))
+
+    for P in probe_grid:
+        p_eff = P if P is not None else index.d_short + 1
+        for w in window_grid:
+            for rw in rerank_grid:
+                def run_packed(P=P, w=w, rw=rw):
+                    return search_packed(
+                        packed.with_window(w), queries=q_m,
+                        n_probes=P, rerank_width=rw,
+                    )
+
+                ids, _ = run_packed()
+                cost = index.tries * p_eff * w * sw
+                cost *= 1.0 + (0.0 if rw is None else rw / (2.0 * k))
+                t = Trial("packed",
+                          {"n_probes": P, "window": w, "rerank_width": rw},
+                          recall_at_k(true_ids, np.asarray(ids), k), cost)
+                note(t)
+                runners.append((t, run_packed))
+
+    if include_table:
+        for P in probe_grid:
+            p_eff = P if P is not None else index.d_short + 1
+            for rw in rerank_grid:
+                def run_table(P=P, rw=rw):
+                    return search(index, queries=q_m, n_probes=P,
+                                  rerank_width=rw)
+
+                ids, _ = run_table()
+                cost = index.tries * p_eff * index.tmax
+                cost *= 1.0 + (0.0 if rw is None else rw / (2.0 * k))
+                t = Trial("table", {"n_probes": P, "rerank_width": rw},
+                          recall_at_k(true_ids, np.asarray(ids), k), cost)
+                note(t)
+                runners.append((t, run_table))
+
+    qualified = [(t, r) for t, r in runners if t.recall >= target_recall]
+    if not qualified:
+        best = max(trials, key=lambda t: t.recall)
+        cands = [(t, r) for t, r in runners if t is best]
+    else:
+        cands = qualified
+
+    if measure:
+        for t, run in cands:
+            t.qps = _measure_qps(run, m)
+            if verbose:
+                print(f"  measured {t.engine} {t.knobs}: {t.qps:.0f} QPS")
+        best = max((t for t, _ in cands), key=lambda t: t.qps)
+    else:
+        best = min((t for t, _ in cands), key=lambda t: t.cost)
+
+    return TuneReport(best=best, trials=trials, k=k, metric=metric,
+                      target_recall=target_recall, measured=measure,
+                      _points=points, _index=index, _packed=packed)

@@ -1,0 +1,101 @@
+"""Auto-tuner: operating-point search for a recall target (no reference
+counterpart — the reference's knobs are hand-picked, ``ann.h:46-65``)."""
+
+import numpy as np
+import pytest
+
+import approximatenn_tpu as ann
+from approximatenn_tpu.engine.tuning import Trial, TuneReport, tune
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(7)
+    # clustered so the hash path has structure to find
+    centers = rng.standard_normal((20, 24)).astype(np.float32) * 3
+    X = (centers[rng.integers(0, 20, 4000)]
+         + rng.standard_normal((4000, 24)).astype(np.float32))
+    Q = (centers[rng.integers(0, 20, 64)]
+         + rng.standard_normal((64, 24)).astype(np.float32))
+    return X, Q
+
+
+def test_tune_meets_target_or_max_recall(corpus):
+    X, Q = corpus
+    rep = tune(X, 5, queries=Q, target_recall=0.6, tries=6, seed=0,
+               probe_grid=(None, 12), window_grid=(8, 16),
+               rerank_grid=(None,), measure=False)
+    assert isinstance(rep, TuneReport)
+    assert rep.trials, "no trials evaluated"
+    assert all(isinstance(t, Trial) for t in rep.trials)
+    # exact is always a trial (recall 1.0) so the target is reachable
+    assert rep.best.recall >= 0.6
+    # cost-proxy mode: the winner is the CHEAPEST qualifying config
+    qual = [t for t in rep.trials if t.recall >= 0.6]
+    assert rep.best.cost == min(t.cost for t in qual)
+
+
+def test_tune_server_round_trip(corpus):
+    """report.server() serves the winning config and reproduces the
+    reported recall on the tuning sample."""
+    X, Q = corpus
+    rep = tune(X, 5, queries=Q, target_recall=0.5, tries=6, seed=0,
+               probe_grid=(12,), window_grid=(8,),
+               rerank_grid=(None, 20), measure=False)
+    srv = rep.server()
+    ids, dists = srv.search(Q)
+    assert ids.shape == (64, 5)
+    true_ids, _ = ann.exact_search(X, Q, 5)
+    from approximatenn_tpu.harness.scoring import recall_at_k
+
+    got = recall_at_k(np.asarray(true_ids), np.asarray(ids), 5)
+    assert abs(got - rep.best.recall) < 1e-9, (got, rep.best.recall)
+
+
+def test_tune_without_exact_candidate(corpus):
+    """include_exact=False: the winner comes from the hash grid even when
+    no config meets an impossible target (falls back to max recall)."""
+    X, Q = corpus
+    rep = tune(X, 5, queries=Q, target_recall=1.01, include_exact=False,
+               tries=4, seed=0, probe_grid=(None,), window_grid=(8,),
+               rerank_grid=(None,), measure=False)
+    assert rep.best.engine == "packed"
+    assert rep.best.recall == max(t.recall for t in rep.trials)
+
+
+def test_tune_table_engine_and_dicts(corpus):
+    X, Q = corpus
+    rep = tune(X, 5, queries=Q, target_recall=0.0, include_exact=False,
+               include_table=True, tries=4, seed=0, probe_grid=(12,),
+               window_grid=(8,), rerank_grid=(None,), measure=False)
+    engines = {t.engine for t in rep.trials}
+    assert engines == {"packed", "table"}
+    d = rep.as_dict()
+    assert d["best"]["engine"] in ("packed", "table")
+    assert len(d["trials"]) == len(rep.trials)
+    # table winner must serve through the table path
+    tbl = [t for t in rep.trials if t.engine == "table"][0]
+    rep.best = tbl
+    srv = rep.server()
+    assert srv.packed is None
+    ids, _ = srv.search(Q)
+    assert ids.shape == (64, 5)
+
+
+def test_tune_synthesizes_queries(corpus):
+    X, _ = corpus
+    rep = tune(X, 5, n_queries=32, target_recall=0.0, tries=4, seed=1,
+               probe_grid=(None,), window_grid=(8,), rerank_grid=(None,),
+               measure=False)
+    assert rep.best is not None
+    assert all(0.0 <= t.recall <= 1.0 for t in rep.trials)
+
+
+def test_tune_angular_metric(corpus):
+    X, Q = corpus
+    rep = tune(X, 5, queries=Q, metric="angular", target_recall=0.0,
+               tries=4, seed=0, probe_grid=(12,), window_grid=(8,),
+               rerank_grid=(None,), measure=False)
+    srv = rep.server()
+    ids, _ = srv.search(Q)
+    assert ids.shape == (64, 5)
