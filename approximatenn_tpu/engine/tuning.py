@@ -164,7 +164,7 @@ def tune(
     """
     from ..ops.pallas_exact import exact_search
     from .build import build
-    from .search import search, search_packed
+    from .serving import Server
 
     points = jnp.asarray(points)
     if points.dtype != jnp.float32:
@@ -190,11 +190,18 @@ def tune(
     true_ids, _ = exact_search(pts_m, q_m, k)
     true_ids = np.asarray(true_ids)
 
-    # one build + one pack serve all hash trials
+    # one build + one pack serve all hash trials; trials dispatch through
+    # Server.search so the measured path IS the production path (on TPU a
+    # >=512-query batch rides the fused probe-window kernel, smaller
+    # batches and CPU the XLA packed path — same routing either way)
     index, _, _ = build(points, k, metric=metric, seed=seed,
                         store_points=True, **build_kw)
     packed = index.packed(window=max(window_grid))
     sw = packed.super_width
+    srv_packed = Server(points=points, k=k, mode="hash", metric=metric,
+                        index=index, packed=packed)
+    srv_table = Server(points=points, k=k, mode="hash", metric=metric,
+                       index=index)
 
     trials: list[Trial] = []
 
@@ -221,10 +228,8 @@ def tune(
         for w in window_grid:
             for rw in rerank_grid:
                 def run_packed(P=P, w=w, rw=rw):
-                    return search_packed(
-                        packed.with_window(w), queries=q_m,
-                        n_probes=P, rerank_width=rw,
-                    )
+                    return srv_packed.search(queries, n_probes=P,
+                                             window=w, rerank_width=rw)
 
                 ids, _ = run_packed()
                 cost = index.tries * p_eff * w * sw
@@ -240,8 +245,8 @@ def tune(
             p_eff = P if P is not None else index.d_short + 1
             for rw in rerank_grid:
                 def run_table(P=P, rw=rw):
-                    return search(index, queries=q_m, n_probes=P,
-                                  rerank_width=rw)
+                    return srv_table.search(queries, n_probes=P,
+                                            rerank_width=rw)
 
                 ids, _ = run_table()
                 cost = index.tries * p_eff * index.tmax
