@@ -145,7 +145,9 @@ def tune(
     probe_grid=DEFAULT_PROBE_GRID,
     window_grid=DEFAULT_WINDOW_GRID,
     rerank_grid=DEFAULT_RERANK_GRID,
+    packed_dtype=None,
     measure: bool | None = None,
+    measure_all: bool = False,
     seed: int = 0,
     verbose: bool = False,
     **build_kw,
@@ -196,7 +198,9 @@ def tune(
     # batches and CPU the XLA packed path — same routing either way)
     index, _, _ = build(points, k, metric=metric, seed=seed,
                         store_points=True, **build_kw)
-    packed = index.packed(window=max(window_grid))
+    # packed_dtype: storage width of the packed rows (bf16 halves, int8
+    # quarters them — the winning tier at 10M+, see BASELINE.md)
+    packed = index.packed(window=max(window_grid), dtype=packed_dtype)
     sw = packed.super_width
     srv_packed = Server(points=points, k=k, mode="hash", metric=metric,
                         index=index, packed=packed)
@@ -264,7 +268,9 @@ def tune(
         cands = qualified
 
     if measure:
-        for t, run in cands:
+        # measure_all: time every trial, not just the qualifying ones —
+        # the report then answers ANY target offline (full frontier)
+        for t, run in (runners if measure_all else cands):
             t.qps = _measure_qps(run, m)
             if verbose:
                 print(f"  measured {t.engine} {t.knobs}: {t.qps:.0f} QPS")

@@ -177,6 +177,13 @@ def main(argv=None) -> int:
     p.add_argument("--rerank-width", type=int, default=None,
                    help="keep this many candidates (>= k) through merge + "
                         "supercharge, reduce to k at the end (recall knob)")
+    p.add_argument("--tune", action="store_true",
+                   help="auto-tune the operating point instead of running "
+                        "the config ladder: walk the exact/packed knob grid "
+                        "on the dataset's queries, print the TuneReport as "
+                        "one JSON line (see engine.tuning)")
+    p.add_argument("--target-recall", type=float, default=0.9,
+                   help="with --tune: the recall@k the winner must meet")
     args = p.parse_args(argv)
     if args.fused and not args.packed:
         p.error("--fused requires --packed (it serves the packed view)")
@@ -197,6 +204,21 @@ def main(argv=None) -> int:
     from ..data import datasets
 
     ds = datasets.load(args.dataset, max_n=args.max_n, max_queries=args.max_queries)
+    if args.tune:
+        import jax.numpy as jnp
+
+        pdt = {None: None, "f32": None, "bf16": jnp.bfloat16,
+               "int8": jnp.int8}[args.packed_dtype]
+        nq = min(args.batch, ds.queries.shape[0])
+        rep = ann.tune(
+            jnp.asarray(ds.base), args.k, queries=ds.queries[:nq],
+            target_recall=args.target_recall, metric=ds.metric,
+            tries=args.tries[0], capacity=cap, packed_dtype=pdt,
+        )
+        print(json.dumps({"dataset": ds.name, "synthetic": ds.synthetic,
+                          "n": ds.n, "d": ds.d, **rep.as_dict()}),
+              flush=True)
+        return 0
     for tries in args.tries:
         rec = run_config(ann, jax, ds, args.k, tries, args.batch, args.reps,
                          args.seed, capacity=cap, n_probes=args.n_probes,

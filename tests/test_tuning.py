@@ -99,3 +99,21 @@ def test_tune_angular_metric(corpus):
     srv = rep.server()
     ids, _ = srv.search(Q)
     assert ids.shape == (64, 5)
+
+
+def test_ann_bench_tune_cli(capsys):
+    """ann_bench --tune prints one TuneReport JSON line."""
+    import json
+
+    from approximatenn_tpu.harness import ann_bench
+
+    rc = ann_bench.main([
+        "--dataset", "gaussian-10k", "--max-n", "2000", "--k", "5",
+        "--tries", "4", "--batch", "32", "--tune", "--target-recall", "0.5",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["target_recall"] == 0.5
+    assert rec["best"]["recall"] >= 0.5  # exact is always in the pool
+    assert rec["trials"]
