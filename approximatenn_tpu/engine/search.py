@@ -266,16 +266,22 @@ def search_packed_impl(pi: PackedIndex, points, queries, block_rows: int,
         dd = jnp.sum(diff * diff, axis=-1).astype(dtype)  # (B, T, Lt)
         if pi.scale is not None:
             dd = dd * (pi.scale * pi.scale).astype(dd.dtype)
-        # slots >= n are the packed tail padding (pack_table places all n
-        # real points first), so the sentinel mask is purely positional
-        dd = jnp.where(pos < n, dd, jnp.asarray(jnp.inf, dd.dtype))
+        # slots >= live_bound are sentinels (tail padding AND relocated
+        # tombstones — packed() sorts dead points past every bucket), so
+        # the sentinel mask is purely positional.  Masking BEFORE the
+        # per-table top-k matters for the int8 tier: its dead slots are
+        # zero rows at finite distance and would otherwise displace real
+        # candidates (near-origin queries) before the id map caught them.
+        live = pi.live_bound
+        dd = jnp.where(pos < live, dd, jnp.asarray(jnp.inf, dd.dtype))
         tpos, tdist = dedup_topk(pos, dd, kk, n_pad)  # (B, T, kk) positional
         # real ids for the T*k winners only
         gpos = tpos + (jnp.arange(tries, dtype=itype) * n_pad)[None, :, None]
         wids = ids_flat[jnp.minimum(gpos, ids_flat.shape[0] - 1)]
         wids = jnp.where(jnp.isinf(tdist), n, wids)
-        # tombstoned slots carry sentinel id n at FINITE distance under
-        # int8 storage (no +inf row encoding) — re-assert the invariant
+        # belt-and-braces: any sentinel-id slot that slipped through at a
+        # finite distance (none should — the positional live_bound mask
+        # runs before the top-k) is re-asserted to +inf
         tdist = jnp.where(wids == n, jnp.asarray(jnp.inf, tdist.dtype), tdist)
         t1, td1 = dedup_topk(
             wids.reshape(B, -1), tdist.reshape(B, -1), kk, n
@@ -367,9 +373,13 @@ def search_packed_fused_impl(pi: PackedIndex, points, queries,
         # dd / s^2 monotone with the true distances, and one multiply
         # restores the real scale afterwards — no scale inside the kernel
         qp = qp.astype(jnp.float32) / pi.scale
+    # the kernel's in-kernel positional mask uses live_bound: positions
+    # past it are tail padding OR relocated tombstones (packed() sorts
+    # dead points last), so dead slots never reach the on-chip top-k —
+    # the int8 tier's zero-row sentinels are excluded positionally
     pos, dd = probe_topk_pallas(
-        pts_flat, qp, start, k=kk, n=n, n_pad=n_pad, window=window,
-        query_block=query_block, interpret=interpret,
+        pts_flat, qp, start, k=kk, n=pi.live_bound, n_pad=n_pad,
+        window=window, query_block=query_block, interpret=interpret,
     )  # (m, tries, kk) within-table slots + dists
     if pi.scale is not None:
         dd = dd * (pi.scale * pi.scale)
@@ -378,8 +388,8 @@ def search_packed_fused_impl(pi: PackedIndex, points, queries,
     gpos = pos + (jnp.arange(tries, dtype=itype) * n_pad)[None, :, None]
     wids = ids_flat[jnp.minimum(gpos, ids_flat.shape[0] - 1)]
     wids = jnp.where(jnp.isinf(dd), n, wids)
-    # tombstoned slots carry sentinel id n but a FINITE distance under int8
-    # storage (no +inf encoding) — re-assert the global sentinel invariant
+    # belt-and-braces: sentinel-id slots at finite distance (none should
+    # survive the kernel's live_bound mask) are re-asserted to +inf
     dd = jnp.where(wids == n, jnp.inf, dd)
     t1, td1 = dedup_topk(wids.reshape(m, -1), dd.reshape(m, -1), kk, n)
 

@@ -421,6 +421,24 @@ class ANNIndex:
             codes = jnp.concatenate(parts)
         else:
             codes = jnp.zeros((n, self.tries), jnp.int32)
+        n_live = n
+        if self.dead is not None:
+            # Relocate tombstoned points to the packed TAIL: give them a
+            # past-the-end bucket code so the stable sort in pack_tables
+            # places every dead slot after every live one.  Their packed
+            # positions are then all >= n_live, and the purely positional
+            # sentinel masks already applied by every packed path (XLA:
+            # `pos < live`; fused kernel: the in-kernel `pos < n` mask)
+            # exclude them BEFORE the per-table top-k — which is the only
+            # correct place for the int8 tier, whose zero sentinel rows
+            # otherwise score a finite ||q/s||^2 and can displace real
+            # candidates for near-origin queries (round-2 VERDICT item 5).
+            # Float tiers get the same treatment (their +inf rows were
+            # already correct; tail relocation additionally stops windows
+            # from wasting read slots on dead entries).
+            dead_rows = self.dead[:n]
+            n_live = n - int(jnp.sum(dead_rows))
+            codes = jnp.where(dead_rows[:, None], self.n_buckets, codes)
         order, starts = pack_tables(codes.T, self.n_buckets)
         pad = jnp.full((self.tries, n_pad - n), n, order.dtype)
         ids = jnp.concatenate([order, pad], axis=1)  # (tries, n_pad)
@@ -457,7 +475,7 @@ class ANNIndex:
             scale=scale,
             n=n, k=self.k, d=d, d_short=self.d_short,
             tries=self.tries, window=window, super_width=w,
-            metric=self.metric, d_pad=d_pad,
+            metric=self.metric, d_pad=d_pad, n_live=n_live,
         )
 
     def with_depth(self, depth: int) -> "ANNIndex":
@@ -582,11 +600,24 @@ class PackedIndex:
     # distance-neutral against zero-padded queries).  0 = legacy views
     # packed before lane padding existed (lane dim == d).
     d_pad: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # live (non-tombstoned) point count: packed() relocates dead slots to
+    # the tail of each table's CSR order, so positions >= n_live are
+    # sentinels — the positional masks in every packed search path use
+    # this bound, which is what keeps int8 dead slots (zero rows, finite
+    # distance) from ever entering a per-table top-k.  0 = no tombstones
+    # (live bound == n; also the value in legacy saved views).
+    n_live: int = dataclasses.field(default=0, metadata=dict(static=True))
     # int8 storage tier: () f32 dequantization scale — stored rows are
     # round(x / scale) in [-127, 127], so true squared distances =
     # kernel-domain distances * scale^2 (queries enter as q / scale).
     # None for float tiers.
     scale: Any = None
+
+    @property
+    def live_bound(self) -> int:
+        """Positions >= this are sentinel slots (tail padding and
+        relocated tombstones)."""
+        return self.n_live or self.n
 
     @property
     def lane_dim(self) -> int:
@@ -647,7 +678,8 @@ class PackedIndex:
             starts=np.asarray(self.starts),
             graph=np.asarray(self.graph),
             meta=np.array([self.n, self.k, self.d, self.d_short, self.tries,
-                           self.window, self.super_width, self.d_pad]),
+                           self.window, self.super_width, self.d_pad,
+                           self.n_live]),
             metric=np.array(self.metric),
         )
         _stash(arrays, "row_means", self.row_means)
@@ -663,7 +695,10 @@ class PackedIndex:
     @classmethod
     def load(cls, path: str) -> "PackedIndex":
         z = np.load(path)
-        n, k, d, d_short, tries, window, w, d_pad = (int(v) for v in z["meta"])
+        meta = [int(v) for v in z["meta"]]
+        if len(meta) == 8:  # legacy views predate the n_live field
+            meta.append(0)
+        n, k, d, d_short, tries, window, w, d_pad, n_live = meta
         rows = jnp.asarray(z["point_rows"])
         row_dt = jnp.dtype(str(z["row_dtype"]))
         if rows.dtype == jnp.uint16:
@@ -679,6 +714,7 @@ class PackedIndex:
             scale=jnp.asarray(z["scale"]) if "scale" in z else None,
             n=n, k=k, d=d, d_short=d_short, tries=tries, window=window,
             super_width=w, metric=str(z["metric"]), d_pad=d_pad,
+            n_live=n_live,
         )
 
 
