@@ -49,7 +49,15 @@ def query_codes(row_means, bases, x) -> tuple[jax.Array, jax.Array]:
         return (jnp.zeros((m, tries), itype),
                 jnp.zeros((m, tries, 0), bases.dtype))
     xc = x.astype(bases.dtype) - row_means
-    proj = (xc @ bases.reshape(tries * d_short, d).T).reshape(m, tries, d_short)
+    # HIGHEST: TPU's default matmul precision truncates f32 factors to
+    # bf16, flipping signs of near-zero projections — harmless
+    # statistically but the main source of TPU-vs-CPU hash parity diffs
+    # (measured 2.7% of graph ids at the round-2 parity config; the
+    # projection matmul is tiny, so full precision is effectively free)
+    proj = jnp.matmul(
+        xc, bases.reshape(tries * d_short, d).T,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(m, tries, d_short)
     return pack_signs(proj), proj
 
 

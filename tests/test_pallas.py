@@ -87,6 +87,32 @@ class TestExactKNNPallas:
             np.sort(np.asarray(ia), 1), np.sort(np.asarray(ib), 1)
         )
 
+    def test_snapped_tile_no_pad_path(self, rng):
+        """The auto tile snaps to a divisor of n when one is near
+        (compile-time has_pad=False — the padding-row select disappears
+        from the per-step work); the no-pad kernel must still match the
+        oracle exactly, including with exclusions."""
+        from approximatenn_tpu.ops.pallas_exact import _snap_tile_to_divisor
+
+        assert _snap_tile_to_divisor(10_000_000, 16384) == 16000
+        assert _snap_tile_to_divisor(1_000_000, 8192) == 8000
+        assert _snap_tile_to_divisor(999_983, 8192) == 8192  # prime: no snap
+        # tile divides n -> has_pad False inside the kernel
+        p = jnp.asarray(rng.standard_normal((768, 16)).astype(np.float32))
+        q = jnp.asarray(rng.standard_normal((33, 16)).astype(np.float32))
+        ia, da = exact_knn_pallas(p, q, 6, tile=256, query_block=16,
+                                  interpret=True)
+        ib, db = brute_force_knn(p, q, 6)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(ia), 1), np.sort(np.asarray(ib), 1)
+        )
+        np.testing.assert_allclose(np.asarray(da), np.asarray(db),
+                                   rtol=1e-4, atol=1e-4)
+        ia2, _ = exact_knn_pallas(p, p[:32], 6, tile=256, query_block=16,
+                                  interpret=True,
+                                  exclude=jnp.arange(32, dtype=jnp.int32))
+        assert not any(ia2[i, 0] == i for i in range(32))
+
     def test_k_exceeds_n_pads_with_sentinel(self, rng):
         p = jnp.asarray(rng.standard_normal((5, 4)).astype(np.float32))
         q = jnp.asarray(rng.standard_normal((3, 4)).astype(np.float32))
