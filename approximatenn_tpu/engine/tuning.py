@@ -72,6 +72,7 @@ class TuneReport:
     metric: str
     target_recall: float
     measured: bool
+    batch: int = 0  # serving batch the trials dispatched at
     _points: Any = field(repr=False, default=None)
     _index: Any = field(repr=False, default=None)
     _packed: Any = field(repr=False, default=None)
@@ -102,6 +103,7 @@ class TuneReport:
             "metric": self.metric,
             "target_recall": self.target_recall,
             "measured": self.measured,
+            "batch": self.batch,
             "trials": [t.as_dict() for t in self.trials],
         }
 
@@ -138,6 +140,7 @@ def tune(
     *,
     queries=None,
     n_queries: int = 256,
+    batch: int | None = None,
     target_recall: float = 0.9,
     metric: str = "l2",
     include_exact: bool = True,
@@ -160,6 +163,16 @@ def tune(
     synthesized from the corpus when absent.  ``measure=None`` auto-times
     on accelerators and falls back to the candidate-rows cost proxy on
     CPU.  ``**build_kw`` reaches the one hash build (tries, capacity, ...).
+
+    ``batch`` is the PRODUCTION serving batch size: every trial dispatches
+    through ``Server.search`` with exactly that many query rows (the
+    sample is tiled/truncated as needed), so the engine routing the tuner
+    measures — fused kernel at >= ``serving.FUSED_MIN_BATCH`` rows on
+    TPU, the XLA packed path below — is the routing production will hit.
+    Default: the query-sample size, i.e. "I will serve batches shaped
+    like my sample".  Tune at the batch you serve at; the winner can
+    legitimately differ across batch sizes (measured at 1M and 10M,
+    BASELINE.md), which is a property of the hardware, not a tuner bug.
 
     The winner is the max-QPS (measured) or min-cost (proxy) trial with
     recall >= target; if none qualifies, the max-recall trial.
@@ -192,6 +205,20 @@ def tune(
     true_ids, _ = exact_search(pts_m, q_m, k)
     true_ids = np.asarray(true_ids)
 
+    # trials dispatch at the PRODUCTION batch size: tile/truncate the
+    # sample to exactly `batch` rows so Server.search's batch-dependent
+    # engine routing (fused kernel vs XLA packed) is the one production
+    # will execute; recall is scored on the first m_score distinct rows
+    batch = m if batch is None else max(1, int(batch))
+    if batch != m:
+        tile = -(-batch // m)
+        q_run = jnp.concatenate([queries] * tile)[:batch]
+        q_m_run = jnp.concatenate([q_m] * tile)[:batch]
+    else:
+        q_run, q_m_run = queries, q_m
+    m_score = min(m, batch)
+    true_score = true_ids[:m_score]
+
     # one build + one pack serve all hash trials; trials dispatch through
     # Server.search so the measured path IS the production path (on TPU a
     # >=512-query batch rides the fused probe-window kernel, smaller
@@ -217,13 +244,23 @@ def tune(
 
     runners: list[tuple[Trial, Any]] = []  # (trial, replayable thunk)
 
+    # engine route the packed trials will take at this batch (recorded on
+    # the trial so the report says WHAT was measured; same predicate as
+    # Server.search's routing)
+    from .serving import FUSED_MIN_BATCH
+
+    on_accel = all(d.platform != "cpu" for d in points.devices())
+    packed_path = "fused" if (on_accel and batch >= FUSED_MIN_BATCH) else "xla"
+
+    def score(ids) -> float:
+        return recall_at_k(true_score, np.asarray(ids)[:m_score], k)
+
     if include_exact and k <= 128:
         def run_exact():
-            return exact_search(pts_m, q_m, k)
+            return exact_search(pts_m, q_m_run, k)
 
         ids, _ = run_exact()
-        t = Trial("exact", {}, recall_at_k(true_ids, np.asarray(ids), k),
-                  cost=float(n))
+        t = Trial("exact", {}, score(ids), cost=float(n))
         note(t)
         runners.append((t, run_exact))
 
@@ -232,15 +269,16 @@ def tune(
         for w in window_grid:
             for rw in rerank_grid:
                 def run_packed(P=P, w=w, rw=rw):
-                    return srv_packed.search(queries, n_probes=P,
+                    return srv_packed.search(q_run, n_probes=P,
                                              window=w, rerank_width=rw)
 
                 ids, _ = run_packed()
                 cost = index.tries * p_eff * w * sw
                 cost *= 1.0 + (0.0 if rw is None else rw / (2.0 * k))
                 t = Trial("packed",
-                          {"n_probes": P, "window": w, "rerank_width": rw},
-                          recall_at_k(true_ids, np.asarray(ids), k), cost)
+                          {"n_probes": P, "window": w, "rerank_width": rw,
+                           "path": packed_path},
+                          score(ids), cost)
                 note(t)
                 runners.append((t, run_packed))
 
@@ -249,14 +287,14 @@ def tune(
             p_eff = P if P is not None else index.d_short + 1
             for rw in rerank_grid:
                 def run_table(P=P, rw=rw):
-                    return srv_table.search(queries, n_probes=P,
+                    return srv_table.search(q_run, n_probes=P,
                                             rerank_width=rw)
 
                 ids, _ = run_table()
                 cost = index.tries * p_eff * index.tmax
                 cost *= 1.0 + (0.0 if rw is None else rw / (2.0 * k))
                 t = Trial("table", {"n_probes": P, "rerank_width": rw},
-                          recall_at_k(true_ids, np.asarray(ids), k), cost)
+                          score(ids), cost)
                 note(t)
                 runners.append((t, run_table))
 
@@ -271,7 +309,7 @@ def tune(
         # measure_all: time every trial, not just the qualifying ones —
         # the report then answers ANY target offline (full frontier)
         for t, run in (runners if measure_all else cands):
-            t.qps = _measure_qps(run, m)
+            t.qps = _measure_qps(run, batch)
             if verbose:
                 print(f"  measured {t.engine} {t.knobs}: {t.qps:.0f} QPS")
         best = max((t for t, _ in cands), key=lambda t: t.qps)
@@ -280,4 +318,5 @@ def tune(
 
     return TuneReport(best=best, trials=trials, k=k, metric=metric,
                       target_recall=target_recall, measured=measure,
+                      batch=batch,
                       _points=points, _index=index, _packed=packed)

@@ -26,7 +26,7 @@ import numpy as np
 
 
 def run_config(ann, jax, ds, k, tries, batch, reps, seed, capacity="auto",
-               n_probes=None, packed=False, window=None, super_width=16,
+               n_probes=None, packed=False, window=None, super_width=2,
                packed_dtype=None, supercharge_rounds=1, rerank_width=None,
                fused=False):
     import jax.numpy as jnp
@@ -166,8 +166,10 @@ def main(argv=None) -> int:
                         "Pallas kernel (search_packed_fused; TPU only)")
     p.add_argument("--window", type=int, default=None,
                    help="packed per-probe read depth in points (default tmax)")
-    p.add_argument("--super-width", type=int, default=16,
-                   help="packed super-row width in points")
+    p.add_argument("--super-width", type=int, default=2,
+                   help="packed super-row width in points (2 = the library "
+                        "default and the width every BASELINE.md packed "
+                        "config was measured at)")
     p.add_argument("--packed-dtype", default=None,
                    choices=[None, "f32", "bf16", "int8"],
                    help="packed vector storage dtype (int8 = quantized "
@@ -198,7 +200,7 @@ def main(argv=None) -> int:
     jax.config.update(
         "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp")
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     import approximatenn_tpu as ann
     from ..data import datasets
@@ -212,8 +214,9 @@ def main(argv=None) -> int:
         nq = min(args.batch, ds.queries.shape[0])
         rep = ann.tune(
             jnp.asarray(ds.base), args.k, queries=ds.queries[:nq],
-            target_recall=args.target_recall, metric=ds.metric,
-            tries=args.tries[0], capacity=cap, packed_dtype=pdt,
+            batch=args.batch, target_recall=args.target_recall,
+            metric=ds.metric, tries=args.tries[0], capacity=cap,
+            packed_dtype=pdt,
         )
         print(json.dumps({"dataset": ds.name, "synthetic": ds.synthetic,
                           "n": ds.n, "d": ds.d, **rep.as_dict()}),

@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--target", type=float, default=0.9)
     ap.add_argument("--packed-dtype", default="float32",
                     choices=["int8", "bfloat16", "float32"])
+    ap.add_argument("--batch", type=int, nargs="+", default=None,
+                    help="serving batch size(s) to tune at (default: nq); "
+                         "multiple values record one report per batch — "
+                         "the winner-stability-across-batch artifact")
     ap.add_argument("--out", default=None,
                     help="output path (default baselines/tune_<n>.json)")
     args = ap.parse_args()
@@ -43,7 +47,7 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_comp"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     import approximatenn_tpu as ann
@@ -58,15 +62,23 @@ def main():
     cap = args.capacity if args.capacity == "auto" else int(args.capacity)
     pdt = (None if args.packed_dtype == "float32"
            else jnp.dtype(args.packed_dtype))
-    t0 = time.perf_counter()
-    rep = ann.tune(
-        X, args.k, queries=Y, target_recall=args.target,
-        tries=args.tries, capacity=cap,
-        probe_grid=(None, 18, 48), window_grid=(8, 32),
-        rerank_grid=(None, 50), packed_dtype=pdt,
-        measure_all=True, verbose=True,
-    )
-    tune_s = round(time.perf_counter() - t0, 1)
+    batches = args.batch or [args.nq]
+    reports = []
+    tune_s = 0.0
+    for b in batches:
+        t0 = time.perf_counter()
+        rep = ann.tune(
+            X, args.k, queries=Y, batch=b, target_recall=args.target,
+            tries=args.tries, capacity=cap,
+            probe_grid=(None, 18, 48), window_grid=(8, 32),
+            rerank_grid=(None, 50), packed_dtype=pdt,
+            measure_all=True, verbose=True,
+        )
+        dt = round(time.perf_counter() - t0, 1)
+        tune_s += dt
+        print(json.dumps({"stage": "tuned", "batch": b, "s": dt,
+                          "best": rep.best.as_dict()}), flush=True)
+        reports.append(rep.as_dict())
 
     record = {
         "what": "tune() measure_all frontier, production Server.search path",
@@ -77,15 +89,31 @@ def main():
             "tries": args.tries, "capacity": args.capacity,
             "packed_dtype": args.packed_dtype,
             "corpus": "synth_clustered (zipf, 10k centers, seed 0)",
-            "target_recall": args.target,
+            "target_recall": args.target, "batches": batches,
         },
         "synth_s": synth_s,
-        "tune_s": tune_s,
-        "report": rep.as_dict(),
+        "tune_s": round(tune_s, 1),
+        "report": reports[-1] if len(reports) == 1 else None,
+        "reports": reports,
     }
+    # name from the exact n so 1.5M never collides with 1M and n < 1M never
+    # yields "tune_0m" (round-2 ADVICE): 1_000_000 -> tune_1m, 1_500_000 ->
+    # tune_1m500k, 250_000 -> tune_250k
+    if args.n % 1_000_000 == 0:
+        tag = f"{args.n // 1_000_000}m"
+    elif args.n >= 1_000_000:
+        tag = f"{args.n // 1_000_000}m{(args.n % 1_000_000) // 1000}k"
+    elif args.n % 1000 == 0:
+        tag = f"{args.n // 1000}k"
+    else:
+        tag = str(args.n)
     out = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "baselines", f"tune_{args.n // 1_000_000}m.json")
+        "baselines", f"tune_{tag}.json")
+    if args.out is None and os.path.exists(out):
+        raise SystemExit(
+            f"{out} exists; pass --out to overwrite an existing artifact"
+        )
     with open(out, "w") as f:
         json.dump(record, f, indent=1)
         f.write("\n")

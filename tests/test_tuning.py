@@ -20,6 +20,7 @@ def corpus():
     return X, Q
 
 
+@pytest.mark.slow
 def test_tune_meets_target_or_max_recall(corpus):
     X, Q = corpus
     rep = tune(X, 5, queries=Q, target_recall=0.6, tries=6, seed=0,
@@ -101,6 +102,29 @@ def test_tune_angular_metric(corpus):
     assert ids.shape == (64, 5)
 
 
+def test_tune_batch_knob(corpus):
+    """Trials dispatch at the PRODUCTION batch size (round-2 VERDICT item
+    2): the sample is tiled/truncated to `batch` rows so Server.search's
+    batch-dependent routing is the one production hits, the packed trials
+    record which path was measured, and recall is scored on the distinct
+    sample rows only."""
+    X, Q = corpus
+    for batch in (16, 200):
+        rep = tune(X, 5, queries=Q, batch=batch, target_recall=0.5,
+                   tries=4, seed=0, probe_grid=(12,), window_grid=(8,),
+                   rerank_grid=(None,), measure=False)
+        assert rep.batch == batch
+        assert rep.as_dict()["batch"] == batch
+        pk = [t for t in rep.trials if t.engine == "packed"]
+        # CPU run: below FUSED_MIN_BATCH and off-accelerator -> XLA path
+        assert all(t.knobs["path"] == "xla" for t in pk)
+        assert all(0.0 <= t.recall <= 1.0 for t in rep.trials)
+        # the winner still serves
+        ids, _ = rep.server().search(Q)
+        assert ids.shape == (64, 5)
+
+
+@pytest.mark.slow
 def test_ann_bench_tune_cli(capsys):
     """ann_bench --tune prints one TuneReport JSON line."""
     import json
