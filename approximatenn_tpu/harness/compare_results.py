@@ -42,8 +42,89 @@ def diffcount(a: np.ndarray, b: np.ndarray) -> int:
     return int(np.sum(np.asarray(a) != np.asarray(b)))
 
 
+def arbitrate_f64(points: np.ndarray, ga, gc, k: int) -> dict:
+    """Attribute backend graph-id diffs with a float64 oracle.
+
+    The reference only *counts* diffs (``compare_results.c:141-171``); this
+    answers the follow-up question the count raises: when the accelerator
+    and CPU backends disagree on a graph row, which one (if either) is
+    wrong?  Computes the exact f64 all-pairs top-k (self-excluded), then:
+
+    - ``recall_acc`` / ``recall_cpu``: each backend's graph ids scored
+      against the oracle's tie-closed neighbor set (any id whose f64
+      distance <= the k-th oracle distance counts — oracle tie order is
+      itself arbitrary).  Equal recalls mean the diffs carry no quality
+      signal.
+    - per disagreeing row, the two id sets' f64 distance spectra are
+      compared: ``diff_tie_f64`` ids differ but have *identical* f64
+      distances (pure tie-order divergence — both answers exactly right),
+      ``diff_tie_f32`` differ by less than f32 resolution (attributable
+      to f32 `qn+pn-2qp` cancellation ordering — either answer is correct
+      at working precision), and ``diff_real`` is the remainder (a genuine
+      quality gap; the band in ``--max-diff-frac`` gates on these).
+    """
+    P = np.asarray(points, np.float64)
+    n = P.shape[0]
+    # blocked all-pairs so harness-sized corpora stay in ~tens of MB
+    d2 = np.empty((n, n), np.float64)
+    sq = (P * P).sum(1)
+    for lo in range(0, n, 1024):
+        hi = min(lo + 1024, n)
+        d2[lo:hi] = sq[lo:hi, None] + sq[None, :] - 2.0 * (P[lo:hi] @ P.T)
+    np.fill_diagonal(d2, np.inf)
+    okth = np.partition(d2, k - 1, axis=1)[:, k - 1]  # k-th oracle distance
+
+    ga, gc = np.asarray(ga), np.asarray(gc)
+
+    def set_recall(g):
+        hits = 0
+        for i in range(n):
+            ids = g[i][g[i] < n]
+            hits += int(np.sum(d2[i, ids] <= okth[i] * (1 + 1e-12)))
+        return hits / (n * k)
+
+    def row_dists(g, i):
+        dd = np.full(g.shape[1], np.inf)
+        m = g[i] < n
+        dd[m] = d2[i, g[i][m]]
+        return np.sort(dd)
+
+    ga_s, gc_s = np.sort(ga, 1), np.sort(gc, 1)
+    out = {
+        "recall_acc": set_recall(ga),
+        "recall_cpu": set_recall(gc),
+        "diff_tie_f64": 0,
+        "diff_tie_f32": 0,
+        "diff_real": 0,
+    }
+    for i in np.nonzero((ga_s != gc_s).any(1))[0]:
+        cnt = int((ga_s[i] != gc_s[i]).sum())
+        da, dc = row_dists(ga, i), row_dists(gc, i)
+        fin = np.isfinite(da) & np.isfinite(dc)
+        if (fin == (np.isfinite(da) | np.isfinite(dc))).all() and np.allclose(
+            da[fin], dc[fin], rtol=1e-12, atol=0.0
+        ):
+            out["diff_tie_f64"] += cnt
+        elif (fin == (np.isfinite(da) | np.isfinite(dc))).all() and np.allclose(
+            da[fin], dc[fin], rtol=2e-6, atol=0.0
+        ):
+            out["diff_tie_f32"] += cnt
+        else:
+            out["diff_real"] += cnt
+    return out
+
+
 def main(argv=None) -> int:
     p = make_parser("compare_results", __doc__.splitlines()[0])
+    p.add_argument("--arbitrate", action="store_true",
+                   help="attribute precomp-mode graph diffs with a float64 "
+                        "oracle: per-backend oracle recall + tie-vs-real "
+                        "classification (see arbitrate_f64)")
+    p.add_argument("--max-diff-frac", type=float, default=None,
+                   help="acceptance band: fail (exit 2) when the mean id "
+                        "diff fraction exceeds this (with --arbitrate, "
+                        "only diff_real ids count against the band — tie-"
+                        "equivalent diffs are correct answers)")
     args = p.parse_args(argv)
     if args.z and args.ycnt is None:
         args.ycnt = 50
@@ -89,11 +170,20 @@ def main(argv=None) -> int:
             print()
         print(f"Average query diff count: {total / args.average_over:g} "
               f"(of {args.ycnt * args.k} ids)")
+        if args.max_diff_frac is not None:
+            frac = total / args.average_over / (args.ycnt * args.k)
+            if frac > args.max_diff_frac:
+                print(f"FAIL: query diff fraction {frac:.4f} > band "
+                      f"{args.max_diff_frac}")
+                return 2
     else:
         # the hash pipeline is the divergence-prone path this gate exists
         # for (graph_mode="auto" resolves to "exact" at harness sizes,
         # which would compare two exhaustive searches); gate BOTH modes.
         totals = {"hash": [0, 0.0], "exact": [0, 0.0]}
+        arb_keys = ("recall_acc", "recall_cpu", "diff_tie_f64",
+                    "diff_tie_f32", "diff_real")
+        arb = {m: dict.fromkeys(arb_keys, 0.0) for m in totals}
         for i in range(args.average_over):
             points = gen_gaussian(rng, args.n, args.d, dt)
             key = jax.random.key(int(rng.integers(2**63)))
@@ -117,16 +207,44 @@ def main(argv=None) -> int:
                 fin = np.isfinite(da_) & np.isfinite(dc_)
                 ft_ += ulp_units(da_[fin], dc_[fin])
                 totals[mode] = [gt_, ft_]
+                if args.arbitrate:
+                    a = arbitrate_f64(points, np.asarray(ga),
+                                      np.asarray(gc), args.k)
+                    for kk_ in arb_keys:
+                        arb[mode][kk_] += a[kk_]
             if args.verbose:
                 print(i + 1, end=" ", flush=True)
         if args.verbose:
             print()
+        fail = False
         for mode, (gt_, ft_) in totals.items():
             print(
                 f"[graph_mode={mode}] Average graph diff count: "
                 f"{gt_ / args.average_over:g} (of {args.n * args.k} ids); "
                 f"float diff (1024-ULP units): {ft_ / args.average_over:g}"
             )
+            band_count = gt_
+            if args.arbitrate:
+                a = arb[mode]
+                o = args.average_over
+                print(
+                    f"[graph_mode={mode}] arbitration (f64 oracle): "
+                    f"oracle-recall acc={a['recall_acc'] / o:.4f} "
+                    f"cpu={a['recall_cpu'] / o:.4f}; diff ids "
+                    f"tie_f64={a['diff_tie_f64'] / o:g} "
+                    f"tie_f32={a['diff_tie_f32'] / o:g} "
+                    f"real={a['diff_real'] / o:g}"
+                )
+                band_count = a["diff_real"]
+            if args.max_diff_frac is not None:
+                frac = band_count / args.average_over / (args.n * args.k)
+                if frac > args.max_diff_frac:
+                    label = "real " if args.arbitrate else ""
+                    print(f"FAIL: [graph_mode={mode}] {label}diff fraction "
+                          f"{frac:.5f} > band {args.max_diff_frac}")
+                    fail = True
+        if fail:
+            return 2
     return 0
 
 

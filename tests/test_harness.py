@@ -101,3 +101,68 @@ class TestCLIs:
         assert rc == 0
         qdiff = float(out.split("query diff count: ")[1].split(" ")[0])
         assert qdiff == 0.0
+
+    def test_compare_results_arbitration_and_band(self, capsys):
+        """--arbitrate attributes graph diffs with the f64 oracle and
+        --max-diff-frac turns the gate into a pass/fail check (round-2
+        VERDICT item 4).  CPU-vs-CPU: zero diffs, identical oracle
+        recalls, band trivially satisfied."""
+        rc = compare_results.main(
+            ["-n", "200", "-k", "5", "-d", "16", "-o", "2", "--seed", "0",
+             "--arbitrate", "--max-diff-frac", "0.01"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert out.count("arbitration (f64 oracle)") == 2
+        for row in out.splitlines():
+            if "arbitration" in row:
+                acc = float(row.split("acc=")[1].split(" ")[0])
+                cpu = float(row.split("cpu=")[1].split(";")[0])
+                assert acc == cpu  # same backend twice -> identical sets
+                assert acc > 0.9  # exhaustive/hash graphs near the oracle
+                assert float(row.split("real=")[1]) == 0.0
+
+    def test_compare_results_band_fails_loudly(self, capsys):
+        """An impossible band must FAIL (exit 2) — the gate can now
+        regress noisily instead of recording drift silently."""
+        rc = compare_results.main(
+            ["-n", "200", "-k", "5", "-d", "16", "-o", "1", "--seed", "0",
+             "--max-diff-frac", "-0.1"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 2
+        assert "FAIL" in out
+
+    def test_arbitrate_f64_classifies_ties(self, rng):
+        """Unit gate for the classifier: identical sets -> no diffs; a
+        swap between two exactly-equidistant points -> tie_f64; a swap to
+        a strictly-farther point -> real."""
+        from approximatenn_tpu.harness.compare_results import arbitrate_f64
+
+        pts = rng.standard_normal((64, 8)).astype(np.float64)
+        pts[1] = pts[0] + (pts[2] - pts[0]) * 0.5  # general position stays
+        # exact duplicate distances: reflect point 3 about point 0 so
+        # d(0,3) == d(0,40)
+        pts[40] = 2 * pts[0] - pts[3]
+        import approximatenn_tpu as ann
+
+        ga, _ = ann.brute_force_knn_self(pts.astype(np.float32), 4)
+        ga = np.asarray(ga)
+        a = arbitrate_f64(pts, ga, ga, 4)
+        assert a["diff_tie_f64"] == a["diff_tie_f32"] == a["diff_real"] == 0
+        assert a["recall_acc"] == a["recall_cpu"]
+        gc = ga.copy()
+        row = 0
+        # swap 3 <-> 40 in row 0 if present (equidistant twins)
+        where3 = np.nonzero(gc[row] == 3)[0]
+        if where3.size:
+            gc[row, where3[0]] = 40
+            b = arbitrate_f64(pts, ga, gc, 4)
+            assert b["diff_real"] == 0, b
+        # now a genuinely wrong id: replace row 5's nearest with the
+        # farthest point
+        gd = ga.copy()
+        far = int(np.argmax(((pts - pts[5]) ** 2).sum(1)))
+        gd[5, 0] = far
+        c = arbitrate_f64(pts, ga, gd, 4)
+        assert c["diff_real"] >= 1, c
