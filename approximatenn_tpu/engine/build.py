@@ -236,13 +236,19 @@ def exact_graph_chunked(points, k, *, chunk_q: int = 8192, progress=None):
         return brute_force_knn_self(points, k)
     parts_i, parts_d = [], []
     pts32 = points.astype(jnp.float32)
-    for lo in range(0, n, chunk_q):
+    for i, lo in enumerate(range(0, n, chunk_q)):
         m = min(chunk_q, n - lo)
         q = jax.lax.dynamic_slice_in_dim(pts32, lo, m)
         excl = (lo + jnp.arange(m)).astype(jnp.int32)
         ids_k, d_k = exact_knn_pallas(pts32, q, k, exclude=excl)
         parts_i.append(ids_k)
         parts_d.append(d_k)
+        if i % 8 == 7:
+            # bound enqueue-ahead: at 10M the loop queues ~1200 programs;
+            # each program's outputs+workspace are allocated at ENQUEUE
+            # (CLAUDE.md rule 16), so an occasional completion fence keeps
+            # live memory at a handful of chunks for ~0.5% time overhead
+            fence([ids_k])
         if progress:
             progress(f"exact graph rows {lo + m}/{n}")
     return jnp.concatenate(parts_i), jnp.concatenate(parts_d)
@@ -411,8 +417,15 @@ def build(
     self-search (:func:`exact_graph_chunked`): the TRUE graph, ~30x faster
     than the hash pipeline at 1M on TPU; "hash" = the reference's
     multiprobe+supercharge approximation (``alg.c:395-422``); "auto"
-    (default) = exact when n <= 4M and k <= 128, resolved identically on
-    every backend so the TPU-vs-CPU parity gate stays meaningful.
+    (default) = exact when n <= 16M and k <= 128, resolved identically on
+    every backend so the TPU-vs-CPU parity gate stays meaningful.  The
+    16M bound is set by measured cost, not quality: exact self-search is
+    n^2 (measured ~9.5 min of kernel time at 10M x 96 on one v5e — about
+    half the 10M hash-graph stage it replaces — extrapolating to ~25 min
+    at 16M), and the true graph is strictly better for supercharge
+    (BASELINE.md: +0.14 recall free at 1M, +0.06-0.09 at 10M).  Past 16M
+    the hash approximation is the affordable default; pass
+    graph_mode="exact" to override either way.
     """
     n, d = points.shape
     if n >= 2**31:
@@ -441,7 +454,7 @@ def build(
     )
     points_f = jnp.asarray(points, dtype)
     if graph_mode == "auto":
-        graph_mode = "exact" if (n <= (1 << 22) and k <= 128) else "hash"
+        graph_mode = "exact" if (n <= (1 << 24) and k <= 128) else "hash"
     if graph_mode not in ("exact", "hash"):
         raise ValueError(f"unknown graph_mode {graph_mode!r}")
     if graph_mode == "exact":
