@@ -53,9 +53,14 @@ def main() -> int:
 
     import jax
 
-    # persistent compile cache: repeated bench runs skip XLA re-compilation
+    # persistent compile cache: repeated bench runs skip XLA re-compilation.
+    # min_compile_time MUST be 0.0 here: at 0.5 most of the build pipeline's
+    # programs were never written, so every fresh process re-queued them on
+    # the remote compile service (load-dependent, minutes under load) —
+    # measured cold build 237-460 s with the 0.5 threshold vs 6.4 s with a
+    # complete cache (round-3 fix of BENCH_r02's build_cold_s=280 regression)
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     import approximatenn_tpu as ann

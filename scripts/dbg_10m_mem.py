@@ -13,7 +13,7 @@ from approximatenn_tpu.utils.profiling import fence
 import os
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_comp"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import sys
 sys.path.insert(0, os.path.dirname(__file__))
