@@ -261,6 +261,7 @@ class TestAutoCapacity:
 
 
 class TestChunkedBuild:
+    @pytest.mark.slow
     def test_chunked_equals_monolithic(self, rng):
         """The host-chunked graph build must produce the identical graph."""
         import jax.numpy as jnp

@@ -11,6 +11,10 @@ import json
 import os
 import subprocess
 import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow  # subprocess gate
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent

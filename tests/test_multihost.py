@@ -12,6 +12,10 @@ import os
 import socket
 import subprocess
 import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow  # subprocess gate
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent

@@ -9,6 +9,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# big-shape virtual-mesh / interpret-mode kernel gates: the bulk of the
+# suite's wall clock.  Inner loop: -m 'not slow'.
+pytestmark = pytest.mark.slow
+
 import approximatenn_tpu as ann
 from approximatenn_tpu.engine.search import search_packed_fused
 from approximatenn_tpu.ops.pallas_probe import probe_topk_pallas

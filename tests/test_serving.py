@@ -127,6 +127,7 @@ def test_hash_packed_layout(data):
     assert hits / (32 * 5) > 0.5
 
 
+@pytest.mark.slow
 def test_packed_routing_fused_kwargs(data):
     """Fused-only kwargs pin the fused path (interpret mode exercises the
     identical kernel on CPU); plain calls on CPU stay on search_packed."""

@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from approximatenn_tpu.parallel import multihost
 from approximatenn_tpu.parallel.sharded import make_mesh
@@ -24,6 +25,7 @@ def test_fence_handles_non_arrays():
     fence(jnp.arange(5))
 
 
+@pytest.mark.slow
 def test_trace_noops_gracefully(tmp_path):
     with trace(str(tmp_path)) as d:
         jnp.ones(3).sum()
