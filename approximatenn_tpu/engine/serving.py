@@ -35,13 +35,30 @@ import jax.numpy as jnp
 # practical bound is corpus-fits-in-HBM, ~8M x 128 f32 per 16 GB chip).
 EXACT_MAX_N_DEFAULT = 8_000_000
 
-# At and above this many queries per call, packed serving routes through
-# the fused probe-window Pallas kernel on TPU: measured at 1M (BASELINE.md
-# round-2 A/B) the fused path wins 1.6-2.6x at batch=1000 but loses to
-# search_packed at batch=100 (fixed grid-step costs ~tens of us x tries x
-# query-blocks dominate small batches).  The crossover sits between; 512
-# keeps both measured points on their winning side.
+# Packed-serving engine routing: at and above this many queries per call
+# the fused probe-window Pallas kernel wins at 1M points (measured 1.6-
+# 2.6x at batch=1000, loses at batch=100 — fixed grid-step costs
+# dominate small batches; BASELINE.md round-2 A/B).  The crossover is
+# SCALE-DEPENDENT: XLA's per-row gather degrades with source size
+# (CLAUDE.md rule 9), so by 10M the fused DMA path wins at EVERY batch
+# size measured, including 32 (round-3 A/B, batch in {32,100,512,1000} x
+# windows {32,96} x P {18,48}: fused 1.1-8.5x packed-xla everywhere).
+# fused_min_batch() anchors both measured scales and interpolates the
+# threshold inversely with n between them.
 FUSED_MIN_BATCH = 512
+_FUSED_ALWAYS_N = 8_000_000  # >= this, route fused at any batch (10M-measured)
+
+
+def fused_min_batch(n: int) -> int:
+    """Minimum batch size at which packed serving routes to the fused
+    kernel for an n-point view (measured anchors: 512 at <= 1M, 0 at >=
+    8M; 1/n interpolation between — the XLA gather's per-row cost grows
+    with source size while the fused DMA's does not)."""
+    if n >= _FUSED_ALWAYS_N:
+        return 0
+    if n <= 1_000_000:
+        return FUSED_MIN_BATCH
+    return max(32, (FUSED_MIN_BATCH * 1_000_000) // n)
 
 
 @dataclass
@@ -194,7 +211,7 @@ class Server:
                 )
             use_fused = pin_fused or (
                 on_tpu and not xla_only
-                and queries.shape[0] >= FUSED_MIN_BATCH
+                and queries.shape[0] >= fused_min_batch(self.packed.n)
             )
             if use_fused:
                 from .search import search_packed_fused

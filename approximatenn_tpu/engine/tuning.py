@@ -167,7 +167,7 @@ def tune(
     ``batch`` is the PRODUCTION serving batch size: every trial dispatches
     through ``Server.search`` with exactly that many query rows (the
     sample is tiled/truncated as needed), so the engine routing the tuner
-    measures — fused kernel at >= ``serving.FUSED_MIN_BATCH`` rows on
+    measures — fused kernel at >= ``serving.fused_min_batch(n)`` rows on
     TPU, the XLA packed path below — is the routing production will hit.
     Default: the query-sample size, i.e. "I will serve batches shaped
     like my sample".  Tune at the batch you serve at; the winner can
@@ -247,10 +247,11 @@ def tune(
     # engine route the packed trials will take at this batch (recorded on
     # the trial so the report says WHAT was measured; same predicate as
     # Server.search's routing)
-    from .serving import FUSED_MIN_BATCH
+    from .serving import fused_min_batch
 
     on_accel = all(d.platform != "cpu" for d in points.devices())
-    packed_path = "fused" if (on_accel and batch >= FUSED_MIN_BATCH) else "xla"
+    packed_path = ("fused" if (on_accel and batch >= fused_min_batch(n))
+                   else "xla")
 
     def score(ids) -> float:
         return recall_at_k(true_score, np.asarray(ids)[:m_score], k)

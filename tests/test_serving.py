@@ -127,6 +127,27 @@ def test_hash_packed_layout(data):
     assert hits / (32 * 5) > 0.5
 
 
+def test_fused_min_batch_scale_aware():
+    """Packed-serving routing threshold tracks corpus size (round-3 10M
+    A/B: fused wins at every batch at 10M, while at 1M it loses below
+    ~512 — XLA's per-row gather degrades with source size)."""
+    from approximatenn_tpu.engine.serving import (
+        FUSED_MIN_BATCH,
+        fused_min_batch,
+    )
+
+    assert fused_min_batch(10_000) == FUSED_MIN_BATCH == 512
+    assert fused_min_batch(1_000_000) == 512
+    assert fused_min_batch(2_000_000) == 256
+    assert fused_min_batch(4_000_000) == 128
+    assert fused_min_batch(8_000_000) == 0  # measured: always fused
+    assert fused_min_batch(10_000_000) == 0
+    # monotone non-increasing in n
+    vals = [fused_min_batch(n) for n in
+            (10**5, 10**6, 2 * 10**6, 5 * 10**6, 10**7, 10**8)]
+    assert vals == sorted(vals, reverse=True)
+
+
 @pytest.mark.slow
 def test_packed_routing_fused_kwargs(data):
     """Fused-only kwargs pin the fused path (interpret mode exercises the
