@@ -213,7 +213,8 @@ def _probe_chunk(points, table, tcodes_chunk, row_lo, row_means, basis,
     )
 
 
-def exact_graph_chunked(points, k, *, chunk_q: int = 8192, progress=None):
+def exact_graph_chunked(points, k, *, chunk_q: int = 8192, progress=None,
+                        matmul_precision: str = "highest"):
     """The kNN graph by exhaustive MXU search instead of the hash pipeline.
 
     The reference's ``precomp`` exists to compute the k-NN graph of the
@@ -240,7 +241,8 @@ def exact_graph_chunked(points, k, *, chunk_q: int = 8192, progress=None):
         m = min(chunk_q, n - lo)
         q = jax.lax.dynamic_slice_in_dim(pts32, lo, m)
         excl = (lo + jnp.arange(m)).astype(jnp.int32)
-        ids_k, d_k = exact_knn_pallas(pts32, q, k, exclude=excl)
+        ids_k, d_k = exact_knn_pallas(pts32, q, k, exclude=excl,
+                                      matmul_precision=matmul_precision)
         parts_i.append(ids_k)
         parts_d.append(d_k)
         if i % 8 == 7:
@@ -384,6 +386,7 @@ def build(
     store_points: bool | None = None,
     n_probes: int | None = None,
     graph_mode: str = "auto",
+    graph_precision: str = "highest",
 ) -> tuple[ANNIndex, jax.Array, jax.Array]:
     """Build an index over ``points`` (n, d); returns (index, graph, dists).
 
@@ -420,12 +423,15 @@ def build(
     (default) = exact when n <= 16M and k <= 128, resolved identically on
     every backend so the TPU-vs-CPU parity gate stays meaningful.  The
     16M bound is set by measured cost, not quality: exact self-search is
-    n^2 (measured ~9.5 min of kernel time at 10M x 96 on one v5e — about
-    half the 10M hash-graph stage it replaces — extrapolating to ~25 min
-    at 16M), and the true graph is strictly better for supercharge
-    (BASELINE.md: +0.14 recall free at 1M, +0.06-0.09 at 10M).  Past 16M
-    the hash approximation is the affordable default; pass
-    graph_mode="exact" to override either way.
+    n^2 — a full 10M x 96 build measures 1,115 s on one v5e at
+    graph_precision="highest" (vs 1,364 s for the 10M HASH-graph build
+    it replaces: the true graph is both faster to build and far better —
+    +0.23-0.34 recall@10 through serve-time supercharge at 10M, +0.14 at
+    1M, BASELINE.md) and extrapolates to ~30 min at 16M.  Past 16M the
+    hash approximation is the affordable default; pass
+    graph_mode="exact" to override either way, and
+    graph_precision="default" to halve graph kernel time (bf16-factor
+    edge ranking, ~0.5% of edges).
     """
     n, d = points.shape
     if n >= 2**31:
@@ -459,7 +465,14 @@ def build(
         raise ValueError(f"unknown graph_mode {graph_mode!r}")
     if graph_mode == "exact":
         tables = build_tables(codes, 1 << d_short, tmax, n)
-        graph, gdists = exact_graph_chunked(points_f, k)
+        # graph_precision: "highest" (default) = the TRUE f32 graph (TPU
+        # default matmul precision would silently bf16-round the factors
+        # and misrank ~0.5% of edges — docs/ARCHITECTURE.md, MXU
+        # precision); "default" halves graph-build kernel time at huge n
+        # for callers who accept bf16-factor edge ranking
+        graph, gdists = exact_graph_chunked(
+            points_f, k, matmul_precision=graph_precision
+        )
         graph = graph.astype(itype)
         gdists = gdists.astype(dtype)
     else:

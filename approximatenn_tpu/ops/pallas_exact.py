@@ -50,24 +50,6 @@ def _extract_min(dd: jax.Array, ids: jax.Array):
     return dmin, imin
 
 
-def _snap_tile_to_divisor(n: int, target: int) -> int:
-    """Largest 32-divisible divisor of n in [target/2, target*4/3], or
-    ``target`` when none exists.  A tile that divides n leaves NO padding
-    rows, which lets the rank kernel drop its per-step (tile, bq)
-    padding-row select entirely (compile-time ``has_pad=False``) — one
-    full-block VPU sweep of mandatory work saved per grid step.  32
-    keeps the block sublane-divisible for every storage dtype (f32 needs
-    8, bf16 16, int8 32)."""
-    lo, hi = target // 2, target + target // 3
-    best = 0
-    t = (hi // 32) * 32
-    while t >= max(lo, 32):
-        if n % t == 0 and abs(t - target) < abs(best - target):
-            best = t  # divisor closest to the measured-optimal target
-        t -= 32
-    return best or target
-
-
 def _pick_n_seg(tile: int) -> int:
     """Largest power-of-2 segment count <= 16 whose segments keep full
     8-sublane rows (segments split the OUTER tile axis of the transposed
@@ -701,10 +683,13 @@ def exact_knn_pallas(
             # bf16 at 10M (scripts/exp_int8_tiles.py); int8 is flat
             # between 8192 and 16384, and 16384 keeps its DDs in budget.
             tile = 8192 if cdt.itemsize == 4 else 16384
-        if merge == "rank" and n >= (1 << 14):
-            # prefer a divisor of n: no padding rows -> the rank kernel
-            # compiles without its per-step padding-row select (has_pad)
-            tile = _snap_tile_to_divisor(n, tile)
+        # NEGATIVE RESULT (round 3): snapping the auto tile to a nearby
+        # divisor of n — so has_pad=False drops the per-step padding-row
+        # select — measured 12% SLOWER at 10M x 96 bf16 (tile 16000:
+        # 51.96 ms vs 16384: 46.46; 20000: 54.97).  Non-power-of-2 tiles
+        # cost Mosaic more than the saved (tile, bq) select sweep; tiles
+        # stay power-of-2 and has_pad stays data-driven (free whenever
+        # the tile happens to divide n, e.g. n = 2^20).
     if query_block is None:
         # the rank merge's VMEM appetite (~10 tile-sized stack blocks at a
         # generous budget) caps tile*bq near 2M f32 elements; bq=256 at
