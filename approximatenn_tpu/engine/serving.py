@@ -4,11 +4,15 @@ Role in the reference: none — its only serving surface is ``query``
 (``/root/reference/ann.h:61-62``) over the one algorithm it has.  On TPU
 the measured landscape is richer (BASELINE.md):
 
-- **exact** — the fused Pallas MXU kernel (`ops/pallas_exact`): recall 1.0
-  at ~1.06M QPS (20k pts) to 165k QPS (1M pts) on one v5e chip.  Because
-  XLA's candidate gather tops out near ~250M rows/s while the MXU scans
-  ~50M points/ms, exhaustive search dominates the hash path well past 1M
-  points per chip ("the gather wall", docs/ARCHITECTURE.md).
+- **exact** — the fused Pallas MXU kernel (`ops/pallas_exact`): truly
+  exact (full-precision f32 matmuls, recall 1.0 vs a float64 oracle) at
+  ~1.3M QPS (20k pts) to 83k QPS (1M pts) on one v5e chip; bf16/int8
+  storage tiers double/quadruple capacity at ~0.99/0.95 fidelity.
+  Because XLA's candidate gather tops out near ~250M rows/s while the
+  MXU scans ~50M points/ms, exhaustive search beats the TABLE-layout
+  hash path far past 1M points per chip ("the gather wall",
+  docs/ARCHITECTURE.md) — though with the exact-graph build the fused
+  packed hash path now out-serves exact at 10M (BASELINE.md round 3).
 - **hash** — the reference's algorithm (`build`/`search`): sub-linear
   candidate work; pays off when n outgrows the per-chip flops budget, for
   latency-critical small batches, or when sharded far past single-chip
