@@ -133,14 +133,20 @@ def _rank_merge(dd, gids, cur_d, cur_i, *, k: int, n_seg: int,
     seg = tile // n_seg
     dd3 = dd.reshape(n_seg, seg, bq)
     gids3 = gids.reshape(n_seg, seg, 1)
-    big = jnp.iinfo(jnp.int32).max
+    # ids are base + position (gids is an iota), so per-segment winner ids
+    # come from ARGMIN + index arithmetic — one fused value+index
+    # reduction instead of the two-pass where(v == nd)+min id sweep.
+    # Tie order is identical: argmin's first-minimum = the smallest local
+    # index = the smallest id in the segment (gids increase with
+    # position).  The lexicographic round masks still use gids3.
+    base0 = gids[0, 0]
+    seg_off = jax.lax.broadcasted_iota(jnp.int32, (n_seg, bq), 0) * seg
 
     def extract(v, nd=None):
         if nd is None:
             nd = jnp.min(v, axis=1)  # (S, bq)
-        ni = jnp.min(
-            jnp.where(v == nd[:, None, :], gids3, big), axis=1
-        )
+        am = jnp.argmin(v, axis=1).astype(jnp.int32)  # (S, bq)
+        ni = base0 + seg_off + am
         return nd, ni
 
     def more_needed(v, nd, new_d):
@@ -841,9 +847,12 @@ def exact_knn_pallas(
         + 2 * tile * d * cdt.itemsize
         # selection state: running (bq, k) pairs, the emit-phase
         # slices, and while-carry duplicates (measured: k=100 at
-        # bq=512/tile=8192 needs ~52 MB total)
+        # bq=512/tile=8192 needs ~52 MB total).  20 MB headroom: the
+        # argmin extraction's fused value+index reduction raises the
+        # stack demand at small bq (measured 55.6 MB needed at
+        # bq=64/tile=16384 vs 50 MB under the old 12 MB headroom)
         + 2 * bq * (d + 16 * k + 8) * 4
-        + (12 << 20),
+        + (20 << 20),
         110 << 20,
     )
     if merge == "rank":
