@@ -65,6 +65,12 @@ def arbitrate_f64(points: np.ndarray, ga, gc, k: int) -> dict:
     """
     P = np.asarray(points, np.float64)
     n = P.shape[0]
+    if n > 32768:
+        raise ValueError(
+            f"arbitrate_f64 holds an (n, n) float64 distance matrix "
+            f"({n * n * 8 / 2**30:.1f} GiB at n={n}); the gate runs at "
+            "harness sizes (n <= 32768) — subsample for larger corpora"
+        )
     # blocked all-pairs so harness-sized corpora stay in ~tens of MB
     d2 = np.empty((n, n), np.float64)
     sq = (P * P).sum(1)
