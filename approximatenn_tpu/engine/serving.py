@@ -55,14 +55,28 @@ _FUSED_ALWAYS_N = 8_000_000  # >= this, route fused at any batch (10M-measured)
 
 def fused_min_batch(n: int) -> int:
     """Minimum batch size at which packed serving routes to the fused
-    kernel for an n-point view (measured anchors: 512 at <= 1M, 0 at >=
-    8M; 1/n interpolation between — the XLA gather's per-row cost grows
-    with source size while the fused DMA's does not)."""
+    kernel for an n-point view.  Measured anchors: 512 at <= 1M points;
+    always fused (0) from 8M — at 10M the fused kernel won at every
+    batch down to 32.  Between the anchors the threshold scales 1/n
+    (the XLA gather's per-row cost grows with source size while the
+    fused DMA's does not): 256 at 2M, 128 at 4M, 64 just under 8M."""
     if n >= _FUSED_ALWAYS_N:
         return 0
     if n <= 1_000_000:
         return FUSED_MIN_BATCH
-    return max(32, (FUSED_MIN_BATCH * 1_000_000) // n)
+    return (FUSED_MIN_BATCH * 1_000_000) // n
+
+
+def packed_route(n: int, batch: int, on_accelerator: bool) -> str:
+    """The engine a plain packed `Server.search` call routes to —
+    "fused" or "xla" — for an n-point view serving `batch` queries.
+    ONE definition shared by the router and by the tuner's recorded
+    trial labels (engine/tuning.py), so the label in a TuneReport can
+    never diverge from what actually ran.  (Explicit pins — fused-only
+    kwargs, interpret=True, xla-only kwargs — override this default in
+    Server.search.)"""
+    return ("fused" if on_accelerator and batch >= fused_min_batch(n)
+            else "xla")
 
 
 @dataclass
@@ -214,8 +228,9 @@ class Server:
                     "interpret=True or drop it"
                 )
             use_fused = pin_fused or (
-                on_tpu and not xla_only
-                and queries.shape[0] >= fused_min_batch(self.packed.n)
+                not xla_only
+                and packed_route(self.packed.n, queries.shape[0],
+                                 on_tpu) == "fused"
             )
             if use_fused:
                 from .search import search_packed_fused

@@ -205,19 +205,34 @@ def tune(
     true_ids, _ = exact_search(pts_m, q_m, k)
     true_ids = np.asarray(true_ids)
 
-    # trials dispatch at the PRODUCTION batch size: tile/truncate the
-    # sample to exactly `batch` rows so Server.search's batch-dependent
-    # engine routing (fused kernel vs XLA packed) is the one production
-    # will execute; recall is scored on the first m_score distinct rows
+    # trials dispatch at the PRODUCTION batch size: every call Server
+    # sees has exactly `batch` rows, so the batch-dependent engine
+    # routing (fused kernel vs XLA packed) is the one production will
+    # execute.  batch >= m tiles the sample up (recall scored on the m
+    # distinct rows); batch < m slices the sample into batch-shaped
+    # calls and scores recall over ALL m rows (a single small batch
+    # would make the recall gate statistically noisy — ~several percent
+    # one-sigma at 32 queries)
     batch = m if batch is None else max(1, int(batch))
-    if batch != m:
+    if batch > m:
         tile = -(-batch // m)
         q_run = jnp.concatenate([queries] * tile)[:batch]
         q_m_run = jnp.concatenate([q_m] * tile)[:batch]
+        q_slices = q_m_slices = None
+    elif batch < m:
+        def _slices(qarr):
+            out = []
+            for s in range(0, m, batch):
+                e = s + batch
+                out.append(qarr[s:e] if e <= m
+                           else jnp.concatenate([qarr[s:m], qarr[: e - m]]))
+            return out
+
+        q_slices, q_m_slices = _slices(queries), _slices(q_m)
+        q_run, q_m_run = q_slices[0], q_m_slices[0]
     else:
         q_run, q_m_run = queries, q_m
-    m_score = min(m, batch)
-    true_score = true_ids[:m_score]
+        q_slices = q_m_slices = None
 
     # one build + one pack serve all hash trials; trials dispatch through
     # Server.search so the measured path IS the production path (on TPU a
@@ -244,24 +259,40 @@ def tune(
 
     runners: list[tuple[Trial, Any]] = []  # (trial, replayable thunk)
 
-    # engine route the packed trials will take at this batch (recorded on
-    # the trial so the report says WHAT was measured; same predicate as
-    # Server.search's routing)
-    from .serving import fused_min_batch
+    # engine route the packed trials will take at this batch, recorded on
+    # the trial so the report says WHAT was measured — THE routing
+    # predicate, imported from serving so the label cannot diverge from
+    # what Server.search actually runs
+    from .serving import packed_route
 
     on_accel = all(d.platform != "cpu" for d in points.devices())
-    packed_path = ("fused" if (on_accel and batch >= fused_min_batch(n))
-                   else "xla")
+    packed_path = packed_route(n, batch, on_accel)
 
-    def score(ids) -> float:
-        return recall_at_k(true_score, np.asarray(ids)[:m_score], k)
+    def score_full(run_on, slices, q_default) -> float:
+        """Recall over the full m-row sample.  batch < m: one
+        batch-shaped production call per slice (the first call doubles
+        as the compile warm-up the QPS pass relies on); otherwise one
+        call scored on the m distinct leading rows."""
+        if slices is None:
+            ids, _ = run_on(q_default)
+            return recall_at_k(true_ids[:m], np.asarray(ids)[:m], k)
+        parts = []
+        for i, qs in enumerate(slices):
+            ids, _ = run_on(qs)
+            take = min(batch, m - i * batch)
+            parts.append(np.asarray(ids)[:take])
+        return recall_at_k(true_ids, np.concatenate(parts), k)
+
+    def run_exact_on(qa):
+        return exact_search(pts_m, qa, k)
 
     if include_exact and k <= 128:
         def run_exact():
-            return exact_search(pts_m, q_m_run, k)
+            return run_exact_on(q_m_run)
 
-        ids, _ = run_exact()
-        t = Trial("exact", {}, score(ids), cost=float(n))
+        t = Trial("exact", {},
+                  score_full(run_exact_on, q_m_slices, q_m_run),
+                  cost=float(n))
         note(t)
         runners.append((t, run_exact))
 
@@ -269,17 +300,19 @@ def tune(
         p_eff = P if P is not None else index.d_short + 1
         for w in window_grid:
             for rw in rerank_grid:
-                def run_packed(P=P, w=w, rw=rw):
-                    return srv_packed.search(q_run, n_probes=P,
+                def run_packed_on(qa, P=P, w=w, rw=rw):
+                    return srv_packed.search(qa, n_probes=P,
                                              window=w, rerank_width=rw)
 
-                ids, _ = run_packed()
+                def run_packed(run_on=run_packed_on):
+                    return run_on(q_run)
+
                 cost = index.tries * p_eff * w * sw
                 cost *= 1.0 + (0.0 if rw is None else rw / (2.0 * k))
                 t = Trial("packed",
                           {"n_probes": P, "window": w, "rerank_width": rw,
                            "path": packed_path},
-                          score(ids), cost)
+                          score_full(run_packed_on, q_slices, q_run), cost)
                 note(t)
                 runners.append((t, run_packed))
 
@@ -287,15 +320,17 @@ def tune(
         for P in probe_grid:
             p_eff = P if P is not None else index.d_short + 1
             for rw in rerank_grid:
-                def run_table(P=P, rw=rw):
-                    return srv_table.search(q_run, n_probes=P,
+                def run_table_on(qa, P=P, rw=rw):
+                    return srv_table.search(qa, n_probes=P,
                                             rerank_width=rw)
 
-                ids, _ = run_table()
+                def run_table(run_on=run_table_on):
+                    return run_on(q_run)
+
                 cost = index.tries * p_eff * index.tmax
                 cost *= 1.0 + (0.0 if rw is None else rw / (2.0 * k))
                 t = Trial("table", {"n_probes": P, "rerank_width": rw},
-                          score(ids), cost)
+                          score_full(run_table_on, q_slices, q_run), cost)
                 note(t)
                 runners.append((t, run_table))
 

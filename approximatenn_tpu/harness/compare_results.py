@@ -42,7 +42,31 @@ def diffcount(a: np.ndarray, b: np.ndarray) -> int:
     return int(np.sum(np.asarray(a) != np.asarray(b)))
 
 
-def arbitrate_f64(points: np.ndarray, ga, gc, k: int) -> dict:
+def f64_oracle(points: np.ndarray, k: int):
+    """Blocked all-pairs float64 distances + the k-th oracle distance per
+    row — the reusable half of :func:`arbitrate_f64` (main() arbitrates
+    two graph modes over the SAME points; computing the O(n^2 d) oracle
+    once per sample instead of once per mode halves the gate's dominant
+    cost)."""
+    P = np.asarray(points, np.float64)
+    n = P.shape[0]
+    if n > 32768:
+        raise ValueError(
+            f"arbitrate_f64 holds an (n, n) float64 distance matrix "
+            f"({n * n * 8 / 2**30:.1f} GiB at n={n}); the gate runs at "
+            "harness sizes (n <= 32768) — subsample for larger corpora"
+        )
+    d2 = np.empty((n, n), np.float64)
+    sq = (P * P).sum(1)
+    for lo in range(0, n, 1024):
+        hi = min(lo + 1024, n)
+        d2[lo:hi] = sq[lo:hi, None] + sq[None, :] - 2.0 * (P[lo:hi] @ P.T)
+    np.fill_diagonal(d2, np.inf)
+    okth = np.partition(d2, k - 1, axis=1)[:, k - 1]
+    return d2, okth
+
+
+def arbitrate_f64(points: np.ndarray, ga, gc, k: int, oracle=None) -> dict:
     """Attribute backend graph-id diffs with a float64 oracle.
 
     The reference only *counts* diffs (``compare_results.c:141-171``); this
@@ -63,22 +87,8 @@ def arbitrate_f64(points: np.ndarray, ga, gc, k: int) -> dict:
       at working precision), and ``diff_real`` is the remainder (a genuine
       quality gap; the band in ``--max-diff-frac`` gates on these).
     """
-    P = np.asarray(points, np.float64)
-    n = P.shape[0]
-    if n > 32768:
-        raise ValueError(
-            f"arbitrate_f64 holds an (n, n) float64 distance matrix "
-            f"({n * n * 8 / 2**30:.1f} GiB at n={n}); the gate runs at "
-            "harness sizes (n <= 32768) — subsample for larger corpora"
-        )
-    # blocked all-pairs so harness-sized corpora stay in ~tens of MB
-    d2 = np.empty((n, n), np.float64)
-    sq = (P * P).sum(1)
-    for lo in range(0, n, 1024):
-        hi = min(lo + 1024, n)
-        d2[lo:hi] = sq[lo:hi, None] + sq[None, :] - 2.0 * (P[lo:hi] @ P.T)
-    np.fill_diagonal(d2, np.inf)
-    okth = np.partition(d2, k - 1, axis=1)[:, k - 1]  # k-th oracle distance
+    n = np.asarray(points).shape[0]
+    d2, okth = f64_oracle(points, k) if oracle is None else oracle
 
     ga, gc = np.asarray(ga), np.asarray(gc)
 
@@ -193,6 +203,8 @@ def main(argv=None) -> int:
         for i in range(args.average_over):
             points = gen_gaussian(rng, args.n, args.d, dt)
             key = jax.random.key(int(rng.integers(2**63)))
+            # one O(n^2 d) f64 oracle per sample, shared by both modes
+            oracle = f64_oracle(points, args.k) if args.arbitrate else None
             for mode, (gt_, ft_) in totals.items():
                 ia, ga, da = ann.build(jax.device_put(points, acc), args.k,
                                        key=jax.device_put(key, acc),
@@ -215,7 +227,7 @@ def main(argv=None) -> int:
                 totals[mode] = [gt_, ft_]
                 if args.arbitrate:
                     a = arbitrate_f64(points, np.asarray(ga),
-                                      np.asarray(gc), args.k)
+                                      np.asarray(gc), args.k, oracle=oracle)
                     for kk_ in arb_keys:
                         arb[mode][kk_] += a[kk_]
             if args.verbose:

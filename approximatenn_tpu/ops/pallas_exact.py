@@ -260,8 +260,10 @@ def _kernel_rank(q_ref, qn_ref, excl_ref, pts_ref, out_i_ref,
     dd = pn - 2.0 * dots
     if has_pad:
         # compile-time specialization: when tile | n there are no padding
-        # rows and this full (T, B) select disappears (the auto tile
-        # snaps to a divisor of n when one is near, exact_knn_pallas)
+        # rows and this full (T, B) select disappears.  (Tiles are NOT
+        # steered toward divisors of n — that measured slower, see the
+        # negative result in exact_knn_pallas — so this triggers only
+        # when the power-of-2 tile happens to divide n.)
         dd = jnp.where(gids < n, dd, jnp.inf)
     if has_excl:
         # compile-time specialization: serving passes no exclusions (only
@@ -711,6 +713,21 @@ def exact_knn_pallas(
     nq_blocks = math.ceil(m / bq)
     mp = nq_blocks * bq
 
+    # validate BEFORE any kernel path runs (the stream path returns
+    # early; a typo'd precision must raise, not silently rank bf16)
+    if matmul_precision not in ("highest", "default"):
+        raise ValueError(
+            f"matmul_precision must be 'highest' or 'default', got "
+            f"{matmul_precision!r}"
+        )
+    # only the f32 path has a precision choice: bf16/f16 factors are
+    # already storage-rounded (single pass is exact over them), int8
+    # rides the integer path (int32 accumulation, exact)
+    mxu_prec = (jax.lax.Precision.HIGHEST
+                if matmul_precision == "highest" and cdt.itemsize == 4
+                and not jnp.issubdtype(cdt, jnp.integer)
+                else jax.lax.Precision.DEFAULT)
+
     # streaming path (grid = query blocks only; corpus tiles hand-DMA'd,
     # double-buffered): pays one grid step per query block instead of
     # n_tiles of them.  MEASURED SLOWER than the grid kernel at 1M x 128
@@ -766,12 +783,10 @@ def exact_knn_pallas(
         # pipeline depth: enough in-flight copies to hide the ~60 us
         # per-DMA latency behind compute; capped by the tile count
         n_buf = max(2, min(8, n_tiles))
-        sprec = (jax.lax.Precision.HIGHEST
-                 if matmul_precision == "highest" and cdt.itemsize == 4
-                 else jax.lax.Precision.DEFAULT)
         kernel = functools.partial(
             _stream_kernel, k=k, n=n, tile=tile, n_tiles=n_tiles,
-            last_div=(n_rows - tile) // 128, n_buf=n_buf, precision=sprec,
+            last_div=(n_rows - tile) // 128, n_buf=n_buf,
+            precision=mxu_prec,
         )
         out_i, out_d = pl.pallas_call(
             kernel,
@@ -823,17 +838,6 @@ def exact_knn_pallas(
 
     if merge not in ("rank", "rescan"):
         raise ValueError(f"unknown merge style {merge!r}")
-    if matmul_precision not in ("highest", "default"):
-        raise ValueError(
-            f"matmul_precision must be 'highest' or 'default', got "
-            f"{matmul_precision!r}"
-        )
-    # only the f32 path has a precision choice: bf16/f16 factors are
-    # already storage-rounded (single pass is exact over them), int8 rides
-    # the integer path (int32 accumulation, exact)
-    mxu_prec = (jax.lax.Precision.HIGHEST
-                if matmul_precision == "highest" and cdt.itemsize == 4
-                else jax.lax.Precision.DEFAULT)
     # the default 16 MB scoped-vmem budget caps tile*bq well below what
     # the 128 MB VMEM allows; size the limit from the actual tenants
     vmem_limit = min(

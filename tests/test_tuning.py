@@ -104,10 +104,11 @@ def test_tune_angular_metric(corpus):
 
 def test_tune_batch_knob(corpus):
     """Trials dispatch at the PRODUCTION batch size (round-2 VERDICT item
-    2): the sample is tiled/truncated to `batch` rows so Server.search's
-    batch-dependent routing is the one production hits, the packed trials
-    record which path was measured, and recall is scored on the distinct
-    sample rows only."""
+    2): every call Server.search sees has exactly `batch` rows so the
+    batch-dependent routing is the one production hits, the packed
+    trials record which path was measured, and recall is scored over the
+    FULL sample (batch < m slices it into batch-shaped calls — one small
+    batch would make the recall gate statistically noisy)."""
     X, Q = corpus
     for batch in (16, 200):
         rep = tune(X, 5, queries=Q, batch=batch, target_recall=0.5,
