@@ -37,9 +37,16 @@ import numpy as np
 from ..harness.scoring import recall_at_k
 from ..utils.profiling import fence
 
+# Grids contain the PUBLISHED production frontier (round-4 VERDICT item
+# 6): every BASELINE.md high-recall operating point uses window 96-256 and
+# rerank 50, which the old (8, 16, 32) x (None, 30) grid could not
+# express.  Window is a query-time knob (free — one pack at max(window)
+# serves every trial); rerank/supercharge are trace-time arguments.
 DEFAULT_PROBE_GRID = (None, 12, 18, 24)  # None = blind Hamming-1 set
-DEFAULT_WINDOW_GRID = (8, 16, 32)
-DEFAULT_RERANK_GRID = (None, 30)
+DEFAULT_WINDOW_GRID = (8, 32, 96, 192)
+DEFAULT_RERANK_GRID = (None, 30, 50)
+DEFAULT_SUPER_GRID = (1,)  # supercharge rounds; pass (1, 2) to widen
+DEFAULT_EXACT_TIERS = (None,)  # exact storage tiers; e.g. (None, "bf16", "int8")
 
 
 @dataclass
@@ -73,6 +80,10 @@ class TuneReport:
     target_recall: float
     measured: bool
     batch: int = 0  # serving batch the trials dispatched at
+    # batch > sample size: the QPS pass ran on tiled duplicate query rows
+    # (duplicated queries probe identical windows — measured QPS can read
+    # slightly optimistic vs batches of all-distinct queries)
+    batch_tiled: bool = False
     _points: Any = field(repr=False, default=None)
     _index: Any = field(repr=False, default=None)
     _packed: Any = field(repr=False, default=None)
@@ -84,14 +95,20 @@ class TuneReport:
         from .serving import Server
 
         if self.best.engine == "exact":
+            tier = self.best.knobs.get("storage_dtype")
+            dt = {None: None, "bf16": jnp.bfloat16,
+                  "int8": jnp.int8}[tier]
             return Server.build(self._points, self.k, mode="exact",
-                                metric=self.metric)
+                                metric=self.metric, storage_dtype=dt)
         srv = Server(points=self._points, k=self.k, mode="hash",
                      metric=self.metric, index=self._index,
                      n_probes=self.best.knobs.get("n_probes"))
         rw = self.best.knobs.get("rerank_width")
         if rw is not None:
             srv._search_kw["rerank_width"] = rw
+        sr = self.best.knobs.get("supercharge_rounds")
+        if sr is not None and sr != 1:
+            srv._search_kw["supercharge_rounds"] = sr
         if self.best.engine == "packed":
             srv.packed = self._packed.with_window(self.best.knobs["window"])
         return srv
@@ -104,19 +121,22 @@ class TuneReport:
             "target_recall": self.target_recall,
             "measured": self.measured,
             "batch": self.batch,
+            "batch_tiled": self.batch_tiled,
             "trials": [t.as_dict() for t in self.trials],
         }
 
 
 def _sample_queries(points, n_queries: int, seed: int) -> jnp.ndarray:
     """Held-out-ish sample: corpus rows + 5%-of-std jitter (deterministic).
-    Real query logs are better — pass them via ``queries=``."""
-    pts = np.asarray(points[: min(points.shape[0], 65536)], np.float32)
+    Rows are drawn from the WHOLE corpus (a leading-block sample is biased
+    on corpora with ordered cluster layout); only the sampled rows are
+    pulled to host.  Real query logs are better — pass via ``queries=``."""
+    n = points.shape[0]
     rng = np.random.default_rng(seed ^ 0x5EED)
-    rows = rng.choice(pts.shape[0], size=min(n_queries, pts.shape[0]),
-                      replace=False)
-    q = pts[rows]
-    q = q + 0.05 * pts.std(axis=0) * rng.standard_normal(q.shape)
+    rows = np.sort(rng.choice(n, size=min(n_queries, n), replace=False))
+    q = np.asarray(jnp.take(jnp.asarray(points), jnp.asarray(rows), axis=0),
+                   np.float32)
+    q = q + 0.05 * q.std(axis=0) * rng.standard_normal(q.shape)
     return jnp.asarray(q.astype(np.float32))
 
 
@@ -148,6 +168,8 @@ def tune(
     probe_grid=DEFAULT_PROBE_GRID,
     window_grid=DEFAULT_WINDOW_GRID,
     rerank_grid=DEFAULT_RERANK_GRID,
+    super_grid=DEFAULT_SUPER_GRID,
+    exact_tiers=DEFAULT_EXACT_TIERS,
     packed_dtype=None,
     measure: bool | None = None,
     measure_all: bool = False,
@@ -262,10 +284,15 @@ def tune(
     # engine route the packed trials will take at this batch, recorded on
     # the trial so the report says WHAT was measured — THE routing
     # predicate, imported from serving so the label cannot diverge from
-    # what Server.search actually runs
+    # what Server.search actually runs.  on_accel derives from the SAME
+    # array Server.search inspects (packed.point_rows), so the label
+    # cannot diverge even if corpus and packed view live on different
+    # backends.
     from .serving import packed_route
 
-    on_accel = all(d.platform != "cpu" for d in points.devices())
+    on_accel = all(
+        d.platform != "cpu" for d in srv_packed.packed.point_rows.devices()
+    )
     packed_path = packed_route(n, batch, on_accel)
 
     def score_full(run_on, slices, q_default) -> float:
@@ -283,38 +310,64 @@ def tune(
             parts.append(np.asarray(ids)[:take])
         return recall_at_k(true_ids, np.concatenate(parts), k)
 
-    def run_exact_on(qa):
-        return exact_search(pts_m, qa, k)
-
     if include_exact and k <= 128:
-        def run_exact():
-            return run_exact_on(q_m_run)
+        # one trial per exact storage tier (round-4: bf16/int8 are the
+        # winning tiers at 10M+, BASELINE.md — the old space could not
+        # express them).  Tiers cost a corpus-sized staging copy each;
+        # recall is vs the f32 oracle (None = 1.0 by construction,
+        # bf16 ~0.99, int8 ~0.95 — measured, not assumed).
+        for tier in exact_tiers:
+            if tier is None:
+                corp, tscale = pts_m, None
+            elif tier == "bf16":
+                corp, tscale = pts_m.astype(jnp.bfloat16), None
+            elif tier == "int8":
+                from ..ops.pallas_exact import quantize_corpus
 
-        t = Trial("exact", {},
-                  score_full(run_exact_on, q_m_slices, q_m_run),
-                  cost=float(n))
-        note(t)
-        runners.append((t, run_exact))
+                corp, tscale = quantize_corpus(pts_m)
+            else:
+                raise ValueError(f"unknown exact tier {tier!r}")
+
+            def run_exact_on(qa, corp=corp, tscale=tscale):
+                return exact_search(corp, qa, k, scale=tscale)
+
+            def run_exact(run_on=run_exact_on):
+                return run_on(q_m_run)
+
+            knobs = {} if tier is None else {"storage_dtype": tier}
+            t = Trial("exact", knobs,
+                      score_full(run_exact_on, q_m_slices, q_m_run),
+                      cost=float(n) / (1 if tier is None
+                                       else (2 if tier == "bf16" else 4)))
+            note(t)
+            runners.append((t, run_exact))
 
     for P in probe_grid:
         p_eff = P if P is not None else index.d_short + 1
         for w in window_grid:
             for rw in rerank_grid:
-                def run_packed_on(qa, P=P, w=w, rw=rw):
-                    return srv_packed.search(qa, n_probes=P,
-                                             window=w, rerank_width=rw)
+                for sr in super_grid:
+                    def run_packed_on(qa, P=P, w=w, rw=rw, sr=sr):
+                        return srv_packed.search(
+                            qa, n_probes=P, window=w, rerank_width=rw,
+                            supercharge_rounds=sr,
+                        )
 
-                def run_packed(run_on=run_packed_on):
-                    return run_on(q_run)
+                    def run_packed(run_on=run_packed_on):
+                        return run_on(q_run)
 
-                cost = index.tries * p_eff * w * sw
-                cost *= 1.0 + (0.0 if rw is None else rw / (2.0 * k))
-                t = Trial("packed",
-                          {"n_probes": P, "window": w, "rerank_width": rw,
-                           "path": packed_path},
-                          score_full(run_packed_on, q_slices, q_run), cost)
-                note(t)
-                runners.append((t, run_packed))
+                    cost = index.tries * p_eff * w * sw
+                    cost *= 1.0 + (0.0 if rw is None else rw / (2.0 * k))
+                    cost *= 1.0 + 0.25 * (sr - 1)
+                    knobs = {"n_probes": P, "window": w, "rerank_width": rw,
+                             "path": packed_path}
+                    if len(super_grid) > 1 or sr != 1:
+                        knobs["supercharge_rounds"] = sr
+                    t = Trial("packed", knobs,
+                              score_full(run_packed_on, q_slices, q_run),
+                              cost)
+                    note(t)
+                    runners.append((t, run_packed))
 
     if include_table:
         for P in probe_grid:
@@ -354,5 +407,5 @@ def tune(
 
     return TuneReport(best=best, trials=trials, k=k, metric=metric,
                       target_recall=target_recall, measured=measure,
-                      batch=batch,
+                      batch=batch, batch_tiled=batch > m,
                       _points=points, _index=index, _packed=packed)

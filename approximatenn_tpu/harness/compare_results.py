@@ -142,6 +142,11 @@ def main(argv=None) -> int:
                         "only diff_real ids count against the band — tie-"
                         "equivalent diffs are correct answers)")
     args = p.parse_args(argv)
+    if args.arbitrate and args.n > 32768:
+        # fail at parse time, not with a traceback mid-run after the
+        # builds already happened (f64_oracle's (n, n) float64 bound)
+        p.error(f"--arbitrate holds an (n, n) float64 distance matrix; "
+                f"-n {args.n} exceeds the supported bound 32768")
     if args.z and args.ycnt is None:
         args.ycnt = 50
 

@@ -173,7 +173,8 @@ class ANNIndex:
     # untouched (pytrees are immutable).
     # ------------------------------------------------------------------
 
-    def add_points(self, new_points, points=None) -> "ANNIndex":
+    def add_points(self, new_points, points=None, *,
+                   repair_reverse_edges: bool = True) -> "ANNIndex":
         """Insert ``new_points`` (m, d) with ids n..n+m-1.
 
         Hash parameters (row_means, bases, d_short) stay frozen — new
@@ -181,11 +182,22 @@ class ANNIndex:
         their buckets (first free slot; a FULL bucket drops the entry for
         that table only — it stays reachable via the other tables and the
         graph, the same overflow semantics as capacity-limited builds),
-        and given exact graph rows against the grown corpus.  Existing
-        points' graph rows are NOT refreshed (they never point at new
-        points) — the standard streaming-ANN staleness tradeoff; rebuild
-        when the corpus has grown past ~2x, as bucket sizing (d_short)
-        is fixed at build time.  Requires stored points or ``points``.
+        and given exact graph rows against the grown corpus.
+
+        ``repair_reverse_edges`` (default True, round 4): each old point
+        that a new point claims as a near neighbor gets its graph row
+        re-ranked over (current edges + all new points), so old rows can
+        reach new points through supercharge without a rebuild.  This is
+        the reverse-edge offer — it repairs exactly the rows some new
+        point ranks among its own top-k; an old row whose true new
+        neighbor is asymmetric (the new point is near u, but u is not in
+        the new point's top-k) stays stale until rebuild, so recall still
+        decays slowly with insert fraction (measured in BASELINE.md's
+        insert-decay curve — repair recovers most of the loss).  Cost:
+        one blocked (affected x m) distance pass; for very large insert
+        batches pass False and rebuild instead.  Bucket sizing (d_short)
+        is fixed at build time — rebuild when the corpus has grown past
+        ~2x.  Requires stored points or ``points``.
         """
         from .ops.hash import query_codes
 
@@ -265,6 +277,48 @@ class ANNIndex:
             pad = jnp.full((m, self.k - gnew.shape[1]), n_new, jnp.int32)
             gnew = jnp.concatenate([gnew, pad], axis=1)
         graph = jnp.concatenate([graph, gnew])
+
+        if repair_reverse_edges:
+            # reverse-edge offer: re-rank each AFFECTED old row (one some
+            # new point ranks among its top-k) over its current edges +
+            # every new point.  dedup_topk keeps the min-distance copy;
+            # sentinel/dead ids in current rows are already >= n_old and
+            # rank +inf through candidate_dists' validity bound.
+            import numpy as np
+
+            from .ops.distance import (
+                blocked_over_rows,
+                candidate_dists,
+                pick_block,
+            )
+            from .ops.topk import dedup_topk
+
+            aff = np.unique(np.asarray(gnew))
+            aff = aff[aff < n_old]
+            if self.dead is not None and aff.size:
+                aff = aff[~np.asarray(self.dead)[aff]]
+            if aff.size:
+                aff_d = jnp.asarray(aff, jnp.int32)
+                new_ids = n_old + jnp.arange(m, dtype=jnp.int32)
+
+                def repair_stage(qb, curb, rr):
+                    cand = jnp.concatenate(
+                        [curb,
+                         jnp.broadcast_to(new_ids[None], (qb.shape[0], m))],
+                        axis=-1,
+                    )
+                    dd = candidate_dists(qb, all_points, cand,
+                                         exclude_self=rr)
+                    gi, _ = dedup_topk(cand, dd, self.k, n_new)
+                    return gi
+
+                block = pick_block(aff.size, self.k + m, d, 4)
+                gi = blocked_over_rows(
+                    repair_stage, aff.size, max(1, min(block, aff.size)),
+                    all_points[aff_d], graph[aff_d], aff_d,
+                    pad_values=(0.0, 0, -1),
+                )
+                graph = graph.at[aff_d].set(gi)
 
         dead = self.dead
         if dead is not None:  # extend: new points are live, slot n_new = sentinel
@@ -434,8 +488,11 @@ class ANNIndex:
             # otherwise score a finite ||q/s||^2 and can displace real
             # candidates for near-origin queries (round-2 VERDICT item 5).
             # Float tiers get the same treatment (their +inf rows were
-            # already correct; tail relocation additionally stops windows
-            # from wasting read slots on dead entries).
+            # already correct; tail relocation additionally stops most
+            # windows from wasting read slots on dead entries — the LAST
+            # bucket's CSR slice still extends to the implicit final
+            # boundary n, so its probe windows can read into the relocated
+            # tail: correctly masked, but those slots are spent).
             dead_rows = self.dead[:n]
             n_live = n - int(jnp.sum(dead_rows))
             codes = jnp.where(dead_rows[:, None], self.n_buckets, codes)

@@ -50,6 +50,43 @@ def _extract_min(dd: jax.Array, ids: jax.Array):
     return dmin, imin
 
 
+def _dot_split3(a, b, dims):
+    """3-pass split-factor f32 dot: each factor splits into hi = bf16(x)
+    and lo = bf16(x - hi), and the product keeps the three significant
+    cross terms (hi*hi + hi*lo + lo*hi; the dropped lo*lo term is
+    ~2^-16 relative).  Three single-pass bf16 MXU dots with f32
+    accumulation — the middle ground Mosaic does not expose natively
+    (it supports only DEFAULT = 1 pass and HIGHEST = 6 passes; the
+    XLA-level Precision.HIGH is this same 3-pass scheme).  Effective
+    precision ~16+ mantissa bits vs bf16's 8: neighbor RANKING matches
+    full f32 (gated against the f64 oracle in tests and on real TPU),
+    at ~half HIGHEST's MXU cost."""
+    f32 = jnp.float32
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(f32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(f32)).astype(jnp.bfloat16)
+
+    def dot(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=dims, preferred_element_type=f32
+        )
+
+    return dot(ah, bh) + dot(ah, bl) + dot(al, bh)
+
+
+def _dist_dot(tile_pts, qb, dims, precision):
+    """The distance cross-term dot at the selected precision tier
+    ("split3" is the manual 3-pass scheme; everything else is a Mosaic
+    precision enum)."""
+    if precision == "split3":
+        return _dot_split3(tile_pts, qb, dims)
+    return jax.lax.dot_general(
+        tile_pts, qb, dimension_numbers=dims,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+
 def _pick_n_seg(tile: int) -> int:
     """Largest power-of-2 segment count <= 16 whose segments keep full
     8-sublane rows (segments split the OUTER tile axis of the transposed
@@ -245,11 +282,8 @@ def _kernel_rank(q_ref, qn_ref, excl_ref, pts_ref, out_i_ref,
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
     else:
-        dots = jax.lax.dot_general(
-            tile_pts, qb,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
+        dots = _dist_dot(
+            tile_pts, qb, (((1,), (0,)), ((), ())), precision
         )  # (T, B)
     # SCORE domain: dd minus the per-query constant qn.  Rank order per
     # query (and every comparison against the running state, which lives
@@ -332,11 +366,8 @@ def _kernel(q_ref, qn_ref, excl_ref, pts_ref, pn_ref, out_i_ref, out_d_ref,
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
     else:
-        dots = jax.lax.dot_general(
-            qb, tile_pts,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
+        dots = _dist_dot(
+            qb, tile_pts, (((1,), (1,)), ((), ())), precision
         )  # (B, T)
     dd = qn_ref[:] + pn - 2.0 * dots
     # padding rows (global id >= n) and self-exclusions -> +inf
@@ -501,11 +532,8 @@ def _stream_kernel(q_ref, qn_ref, excl_ref, pts_hbm, pn_hbm, out_i_ref,
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32)
         else:
-            dots = jax.lax.dot_general(
-                qb, tile_pts,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
+            dots = _dist_dot(
+                qb, tile_pts, (((1,), (1,)), ((), ())), precision
             )
         # Mandatory per-tile VPU work is exactly TWO (bq, tile) sweeps —
         # one fused multiply-add and one max-reduce.  dd = qn - s with
@@ -607,16 +635,20 @@ def exact_knn_pallas(
     to f32 either way (gated by tests/test_pallas.py).
 
     ``matmul_precision``: MXU precision of the f32 distance dot —
-    "highest" (default) or "default".  TPU's DEFAULT matmul precision
-    truncates f32 factors to bf16 in a single MXU pass, which misranks
-    ~0.5% of neighbor ids against the true f32 distances (measured vs an
-    f64 oracle at 20k x 128 — the round-3 parity-arbitration finding);
-    an engine named *exact* defaults to actually-exact HIGHEST (6-pass)
-    at ~1.9x the f32 kernel time.  Speed-first callers can pass
-    "default" explicitly — or better, store the corpus bf16/int8: those
-    tiers' single-pass products are exact at storage width, so they are
-    both faster AND no less faithful than f32-at-default was.  Ignored
-    for integer (int8) corpora.
+    "highest" (default), "split3", or "default".  TPU's DEFAULT matmul
+    precision truncates f32 factors to bf16 in a single MXU pass, which
+    misranks ~0.5% of neighbor ids against the true f32 distances
+    (measured vs an f64 oracle at 20k x 128 — the round-3
+    parity-arbitration finding); an engine named *exact* defaults to
+    actually-exact HIGHEST (6-pass) at ~1.9x the f32 kernel time.
+    "split3" (round 4) is the manual 3-pass split-factor scheme
+    (:func:`_dot_split3`): ~16+ effective mantissa bits — neighbor
+    ranking matches full f32 (f64-oracle-gated) at roughly half
+    HIGHEST's MXU cost where the matmul binds.  Speed-first callers can
+    pass "default" explicitly — or better, store the corpus bf16/int8:
+    those tiers' single-pass products are exact at storage width, so
+    they are both faster AND no less faithful than f32-at-default was.
+    Ignored for integer (int8) corpora.
 
     ``merge``: running top-k maintenance style — "rank" (default; sorted
     running state, n_seg-way segment extraction + counting-rank insert,
@@ -715,18 +747,21 @@ def exact_knn_pallas(
 
     # validate BEFORE any kernel path runs (the stream path returns
     # early; a typo'd precision must raise, not silently rank bf16)
-    if matmul_precision not in ("highest", "default"):
+    if matmul_precision not in ("highest", "default", "split3"):
         raise ValueError(
-            f"matmul_precision must be 'highest' or 'default', got "
-            f"{matmul_precision!r}"
+            f"matmul_precision must be 'highest', 'split3' or 'default', "
+            f"got {matmul_precision!r}"
         )
     # only the f32 path has a precision choice: bf16/f16 factors are
     # already storage-rounded (single pass is exact over them), int8
     # rides the integer path (int32 accumulation, exact)
-    mxu_prec = (jax.lax.Precision.HIGHEST
-                if matmul_precision == "highest" and cdt.itemsize == 4
-                and not jnp.issubdtype(cdt, jnp.integer)
-                else jax.lax.Precision.DEFAULT)
+    f32_path = cdt.itemsize == 4 and not jnp.issubdtype(cdt, jnp.integer)
+    if matmul_precision == "split3" and f32_path:
+        mxu_prec = "split3"  # manual 3-pass scheme (_dot_split3)
+    elif matmul_precision == "highest" and f32_path:
+        mxu_prec = jax.lax.Precision.HIGHEST
+    else:
+        mxu_prec = jax.lax.Precision.DEFAULT
 
     # streaming path (grid = query blocks only; corpus tiles hand-DMA'd,
     # double-buffered): pays one grid step per query block instead of

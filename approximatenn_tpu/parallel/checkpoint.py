@@ -43,7 +43,14 @@ def save_sharded_index(sidx: ShardedIndex, path: str | Path) -> None:
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     meta = {f: getattr(sidx, f) for f in _META_FIELDS}
+    meta["metric"] = sidx.metric
+    meta["has_points"] = sidx.points is not None
     arrays = {f: getattr(sidx, f) for f in _ARRAY_FIELDS}
+    if sidx.points is not None:
+        # the metric-preprocessed sharded corpus (always stored for
+        # angular — serving needs the normalized vectors, not the raw ones)
+        arrays["points"] = sidx.points
+        meta["points_dtype"] = str(np.dtype(sidx.points.dtype))
     try:
         import orbax.checkpoint as ocp
 
@@ -70,6 +77,10 @@ def load_sharded_index(path: str | Path, mesh: Mesh) -> ShardedIndex:
             f"mesh has {s} shards but index was built with {meta['n_shards']}"
         )
     specs = _specs()
+    has_points = meta.get("has_points", False)
+    fields = _ARRAY_FIELDS + (("points",) if has_points else ())
+    if has_points:
+        specs["points"] = P(AXIS, None)
     if meta["format"] == "orbax":
         import orbax.checkpoint as ocp
 
@@ -79,7 +90,7 @@ def load_sharded_index(path: str | Path, mesh: Mesh) -> ShardedIndex:
             f: jax.ShapeDtypeStruct(
                 shapes[f][0], shapes[f][1], sharding=NamedSharding(mesh, specs[f])
             )
-            for f in _ARRAY_FIELDS
+            for f in fields
         }
         ckptr = ocp.StandardCheckpointer()
         arrays = ckptr.restore(
@@ -89,10 +100,10 @@ def load_sharded_index(path: str | Path, mesh: Mesh) -> ShardedIndex:
         z = np.load(path / "arrays.npz")
         arrays = {
             f: jax.device_put(z[f], NamedSharding(mesh, specs[f]))
-            for f in _ARRAY_FIELDS
+            for f in fields
         }
     kw = {f: meta[f] for f in _META_FIELDS}
-    return ShardedIndex(**arrays, **kw)
+    return ShardedIndex(**arrays, metric=meta.get("metric", "l2"), **kw)
 
 
 # ---------------------------------------------------------------------------
@@ -202,10 +213,16 @@ def _abstract_shapes(meta):
     )
     nb = 1 << ds
     f = jnp.float32
-    return {
+    shapes = {
         "row_means": ((meta["d"],), f),
         "bases": ((tries, ds, meta["d"]), f),
         "tables": ((s, tries, nb, tmax), jnp.int32),
         "counts": ((s, tries, nb), jnp.int32),
         "graph": ((s, meta["n_local"], meta["k"]), jnp.int32),
     }
+    if meta.get("has_points"):
+        shapes["points"] = (
+            (s * meta["n_local"], meta["d"]),
+            jnp.dtype(meta.get("points_dtype", "float32")),
+        )
+    return shapes

@@ -165,12 +165,22 @@ def main() -> int:
         # (rule 16 concerns multi-GB intermediates, absent here).
         reps_e = max(100, args.reps)
         best_s = float("inf")
-        for _ in range(3):
+        rounds_e = 3
+        for _ in range(rounds_e):
             t0 = time.perf_counter()
             outs = [ann.exact_search(Xd, Yd, k) for _ in range(reps_e)]
             drain(outs)
             best_s = min(best_s, (time.perf_counter() - t0) / reps_e)
         result["exact_qps"] = round(ycnt / best_s, 1)
+        # measurement protocol, recorded so BENCH_rN diffs self-explain:
+        # best of `exact_rounds` pipelined rounds x `exact_reps` batches
+        # (single rounds swing ±30% on this tunnel — BASELINE.md)
+        result["exact_rounds"] = rounds_e
+        result["exact_reps"] = reps_e
+        # precision tier of the headline: full-f32 HIGHEST matmuls (the
+        # truly-exact default since round 3 — r02's f32 numbers ran
+        # bf16-factor DEFAULT ranking, ~2x faster, recall ~0.995)
+        result["matmul_precision"] = "highest"
         # measured, not asserted: the Pallas kernel vs the XLA brute-force
         # oracle above — catches kernel regressions in the headline number
         result["exact_recall_at_10"] = round(
@@ -216,6 +226,24 @@ def main() -> int:
             tq1, _ = ann.brute_force_knn(X1, Y1, k)
             result["exact_1m_recall_at_10"] = round(
                 recall_at_k(np.asarray(tq1), np.asarray(outs[-1][0]), k), 4
+            )
+            # the bf16-STORED tier at 1M: the tier that dominates the old
+            # f32-default operating point (faster, equal fidelity, half
+            # the HBM — BASELINE.md round 3).  Recorded so the r02->r03
+            # exact_1m_qps drop reads as the precision relabeling it is.
+            X1b = X1.astype(jnp.bfloat16)
+            out_b = ann.exact_search(X1b, Y1, k)
+            drain([out_b])
+            best_s = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                outs_b = [ann.exact_search(X1b, Y1, k)
+                          for _ in range(reps1)]
+                drain(outs_b)
+                best_s = min(best_s, (time.perf_counter() - t0) / reps1)
+            result["exact_1m_bf16_qps"] = round(ycnt / best_s, 1)
+            result["exact_1m_bf16_recall_at_10"] = round(
+                recall_at_k(np.asarray(tq1), np.asarray(out_b[0]), k), 4
             )
         except Exception:
             pass

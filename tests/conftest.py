@@ -22,6 +22,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """The real-TPU smoke gate is OPT-IN: it needs the hardware and must
+    be the only TPU process (CLAUDE.md rule 2), so the default (CPU-mesh)
+    run skips it.  Select it explicitly with ``-m tpu``."""
+    if "tpu" in (config.getoption("-m") or ""):
+        return
+    skip = pytest.mark.skip(reason="real-TPU gate: opt in with -m tpu")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture()
 def rng():
     # fresh, fixed-seed generator per test: results don't depend on

@@ -208,10 +208,29 @@ class TestShardedSearch:
         tq, _ = ann.brute_force_knn(jnp.asarray(X[:1024]), jnp.asarray(Y), 5)
         assert recall_at_k(np.asarray(tq), np.asarray(ids), 5) > 0.6
 
-    def test_rejects_indivisible_n(self, mesh8):
-        X = np.zeros((100, 8), np.float32)
-        with pytest.raises(ValueError):
-            build_sharded(X, 5, mesh=mesh8)
+    def test_auto_pads_indivisible_n(self, mesh8, rng):
+        """n not divisible by the shard count is zero-padded internally
+        (round-4; the reference's precomp accepts any n, ann.h:46-49);
+        pad ids never appear in results."""
+        X = rng.standard_normal((1001, 16)).astype(np.float32)
+        Y = rng.standard_normal((32, 16)).astype(np.float32)
+        sidx = build_sharded(X, 5, mesh=mesh8, tries=3, seed=0)
+        assert sidx.n == 1001 and sidx.n_padded == 1008
+        ids, dists = search_sharded(sidx, X, Y, mesh=mesh8)
+        ids = np.asarray(ids)
+        assert ((ids < 1001) | (ids == 1001)).all()  # real ids or sentinel
+        tq, _ = ann.brute_force_knn(jnp.asarray(X), jnp.asarray(Y), 5)
+        assert recall_at_k(np.asarray(tq), ids, 5) > 0.8
+
+    def test_padded_exact_search_is_exact(self, mesh8, rng):
+        """Zero pad rows must never displace true neighbors — stressed
+        with near-origin queries (closest possible to the pads); the
+        local-k widening guarantees exactness."""
+        X = rng.standard_normal((997, 16)).astype(np.float32)
+        Y = (0.01 * rng.standard_normal((16, 16))).astype(np.float32)
+        ids, _ = search_exact_sharded(X, Y, 10, mesh=mesh8)
+        tq, _ = ann.brute_force_knn(jnp.asarray(X), jnp.asarray(Y), 10)
+        assert recall_at_k(np.asarray(tq), np.asarray(ids), 10) == 1.0
 
 
 class TestCheckpoint:
@@ -338,6 +357,150 @@ def test_sharded_deep10m_shaped(mesh8):
     assert rec > 0.5, rec  # capacity-starved but functional, as at 10M
     ids = np.asarray(ids)
     assert (ids >= 0).all() and (ids <= n).all()
+
+
+class TestShardedRound4:
+    """The sharded layer at round-3 engine parity (round-4 VERDICT items
+    1+2): exact graph mode, angular metric, rerank/supercharge knobs,
+    chunked pod-survivable drivers."""
+
+    def test_exact_graph_matches_single_chip_recall(self, data, mesh8):
+        """graph_mode='exact' per shard: sharded serve-time recall within
+        noise of the single-chip exact-graph build at matched shapes, and
+        >= the sharded hash-graph build (the round-3 quality lever)."""
+        X, Y = data
+        tq, _ = ann.brute_force_knn(jnp.asarray(X), jnp.asarray(Y), 10)
+        sx = build_sharded(X, 10, mesh=mesh8, tries=6, seed=2,
+                           graph_mode="exact")
+        ids_x, _ = search_sharded(sx, X, Y, mesh=mesh8)
+        rec_x = recall_at_k(np.asarray(tq), np.asarray(ids_x), 10)
+        sh = build_sharded(X, 10, mesh=mesh8, tries=6, seed=2,
+                           graph_mode="hash")
+        ids_h, _ = search_sharded(sh, X, Y, mesh=mesh8)
+        rec_h = recall_at_k(np.asarray(tq), np.asarray(ids_h), 10)
+        assert rec_x >= rec_h - 1e-9, (rec_x, rec_h)
+        # single-chip exact-graph build at the same shapes
+        idx, _, _ = ann.build(jnp.asarray(X), 10, tries=6, seed=2,
+                              graph_mode="exact")
+        ids_1, _ = ann.search(idx, jnp.asarray(X), jnp.asarray(Y))
+        rec_1 = recall_at_k(np.asarray(tq), np.asarray(ids_1), 10)
+        assert rec_x >= rec_1 - 0.05, (rec_x, rec_1)
+
+    def test_exact_graph_rows_are_true_local_knn(self, data, mesh8):
+        """Each shard's graph rows equal the TRUE kNN of its local slice
+        (id-set equality vs the oracle on the same slice)."""
+        X, _ = data
+        sx = build_sharded(X, 5, mesh=mesh8, tries=3, seed=0,
+                           graph_mode="exact", chunk_rows=100)
+        g = np.asarray(sx.graph)  # (8, n_local, 5)
+        nl = sx.n_local
+        for s in (0, 7):
+            sl = X[s * nl:(s + 1) * nl]
+            tg, _ = ann.brute_force_knn_self(jnp.asarray(sl), 5)
+            assert recall_at_k(np.asarray(tg), g[s], 5) == 1.0
+
+    def test_chunked_hash_build_matches_monolithic(self, data, mesh8):
+        """Forcing the host-chunked sharded hash-graph driver at a chunk
+        size that needs several chunks reproduces the monolithic build
+        bit-for-bit (the pod-survivability path, CLAUDE.md rule 3)."""
+        X, _ = data
+        a = build_sharded(X, 10, mesh=mesh8, tries=3, seed=4,
+                          graph_mode="hash", chunked=False)
+        b = build_sharded(X, 10, mesh=mesh8, tries=3, seed=4,
+                          graph_mode="hash", chunked=True, chunk_rows=100)
+        np.testing.assert_array_equal(np.asarray(a.graph),
+                                      np.asarray(b.graph))
+        np.testing.assert_array_equal(np.asarray(a.tables),
+                                      np.asarray(b.tables))
+
+    def test_chunked_query_matches_monolithic(self, sidx, data, mesh8):
+        X, Y = data
+        a = search_sharded(sidx, X, Y, mesh=mesh8, chunked=False,
+                           rerank_width=20, supercharge_rounds=2)
+        b = search_sharded(sidx, X, Y, mesh=mesh8, chunked=True,
+                           rerank_width=20, supercharge_rounds=2)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                                   rtol=1e-5)
+
+    def test_rerank_and_supercharge_knobs(self, sidx, data, mesh8):
+        """The round-3 recall knobs reach the sharded XLA paths (VERDICT
+        r3 item 3): widened pools may not hurt, and typically help."""
+        X, Y = data
+        tq, _ = ann.brute_force_knn(jnp.asarray(X), jnp.asarray(Y), 10)
+        base, _ = search_sharded(sidx, X, Y, mesh=mesh8)
+        wide, _ = search_sharded(sidx, X, Y, mesh=mesh8, rerank_width=40,
+                                 supercharge_rounds=2)
+        r0 = recall_at_k(np.asarray(tq), np.asarray(base), 10)
+        r1 = recall_at_k(np.asarray(tq), np.asarray(wide), 10)
+        assert r1 >= r0 - 1e-9, (r0, r1)
+        from approximatenn_tpu.parallel.sharded import (
+            packed_sharded, search_packed_sharded,
+        )
+
+        spk = packed_sharded(sidx, X, mesh=mesh8)
+        p0, _ = search_packed_sharded(sidx, spk, X, Y, mesh=mesh8)
+        p1, _ = search_packed_sharded(sidx, spk, X, Y, mesh=mesh8,
+                                      rerank_width=40, supercharge_rounds=2)
+        rp0 = recall_at_k(np.asarray(tq), np.asarray(p0), 10)
+        rp1 = recall_at_k(np.asarray(tq), np.asarray(p1), 10)
+        assert rp1 >= rp0 - 1e-9, (rp0, rp1)
+
+    def test_angular_sharded(self, mesh8, rng):
+        """metric='angular' end-to-end sharded: normalized corpus stored
+        on the index, queries normalized, recall vs the cosine oracle."""
+        X = rng.standard_normal((2048, 24)).astype(np.float32)
+        Y = rng.standard_normal((48, 24)).astype(np.float32)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        Yn = Y / np.linalg.norm(Y, axis=1, keepdims=True)
+        ta, _ = ann.brute_force_knn(jnp.asarray(Xn), jnp.asarray(Yn), 10)
+        sidx = build_sharded(X, 10, mesh=mesh8, tries=4, seed=3,
+                             metric="angular")
+        assert sidx.points is not None  # stored normalized corpus
+        ids, dists = search_sharded(sidx, None, Y, mesh=mesh8)
+        assert recall_at_k(np.asarray(ta), np.asarray(ids), 10) > 0.85
+        # distances are squared L2 on the NORMALIZED vectors
+        ids = np.asarray(ids)
+        want = ((Yn[3] - Xn[ids[3, 0]]) ** 2).sum()
+        np.testing.assert_allclose(np.asarray(dists)[3, 0], want, rtol=1e-4)
+        # packed + fused serve the angular index without passing points
+        from approximatenn_tpu.parallel.sharded import (
+            packed_sharded,
+            search_packed_fused_sharded,
+        )
+
+        spk = packed_sharded(sidx, mesh=mesh8)
+        fi, _ = search_packed_fused_sharded(sidx, spk, None, Y, mesh=mesh8)
+        assert recall_at_k(np.asarray(ta), np.asarray(fi), 10) > 0.85
+
+    def test_graph_precision_knob_accepted(self, data, mesh8):
+        """graph_precision plumbs through the sharded exact-graph build
+        (CPU oracle path always ranks at HIGHEST, so results are equal)."""
+        X, _ = data
+        a = build_sharded(X, 5, mesh=mesh8, tries=2, seed=0,
+                          graph_mode="exact", graph_precision="default")
+        b = build_sharded(X, 5, mesh=mesh8, tries=2, seed=0,
+                          graph_mode="exact", graph_precision="highest")
+        np.testing.assert_array_equal(np.asarray(a.graph),
+                                      np.asarray(b.graph))
+
+    def test_checkpoint_roundtrip_with_metric_and_points(self, mesh8, rng,
+                                                         tmp_path):
+        from approximatenn_tpu.parallel.checkpoint import (
+            load_sharded_index,
+            save_sharded_index,
+        )
+
+        X = rng.standard_normal((512, 16)).astype(np.float32)
+        Y = rng.standard_normal((8, 16)).astype(np.float32)
+        sidx = build_sharded(X, 5, mesh=mesh8, tries=3, seed=2,
+                             metric="angular")
+        a = search_sharded(sidx, None, Y, mesh=mesh8)
+        save_sharded_index(sidx, tmp_path / "ck")
+        loaded = load_sharded_index(tmp_path / "ck", mesh8)
+        assert loaded.metric == "angular" and loaded.points is not None
+        b = search_sharded(loaded, None, Y, mesh=mesh8)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
 
 
 def test_sharded_directed_probes(rng):

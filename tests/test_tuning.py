@@ -125,6 +125,44 @@ def test_tune_batch_knob(corpus):
         assert ids.shape == (64, 5)
 
 
+def test_tune_exact_tiers_and_super_grid(corpus):
+    """Round-4 trial space: exact storage tiers (bf16/int8) and
+    supercharge_rounds are tunable knobs; the winner's server reproduces
+    the winning tier."""
+    X, Q = corpus
+    rep = tune(X, 5, queries=Q, target_recall=0.0, tries=4, seed=0,
+               probe_grid=(12,), window_grid=(8,), rerank_grid=(None,),
+               super_grid=(1, 2), exact_tiers=(None, "bf16", "int8"),
+               measure=False)
+    exact_trials = [t for t in rep.trials if t.engine == "exact"]
+    tiers = {t.knobs.get("storage_dtype") for t in exact_trials}
+    assert tiers == {None, "bf16", "int8"}
+    # f32 exact is 1.0 by construction; tiers close behind on this corpus
+    by_tier = {t.knobs.get("storage_dtype"): t.recall for t in exact_trials}
+    assert by_tier[None] == 1.0
+    assert by_tier["bf16"] > 0.9 and by_tier["int8"] > 0.8
+    srs = {t.knobs.get("supercharge_rounds")
+           for t in rep.trials if t.engine == "packed"}
+    assert srs == {1, 2}
+    # a tier winner serves through Server.build(storage_dtype=...)
+    rep.best = [t for t in exact_trials
+                if t.knobs.get("storage_dtype") == "bf16"][0]
+    srv = rep.server()
+    assert srv.points.dtype == np.dtype("bfloat16") or str(
+        srv.points.dtype) == "bfloat16"
+    ids, _ = srv.search(Q)
+    assert ids.shape == (64, 5)
+    assert rep.as_dict()["batch_tiled"] is False
+
+
+def test_tune_batch_tiled_flag(corpus):
+    X, Q = corpus
+    rep = tune(X, 5, queries=Q[:16], batch=64, target_recall=0.0,
+               tries=4, seed=0, probe_grid=(12,), window_grid=(8,),
+               rerank_grid=(None,), measure=False)
+    assert rep.batch_tiled is True
+
+
 @pytest.mark.slow
 def test_ann_bench_tune_cli(capsys):
     """ann_bench --tune prints one TuneReport JSON line."""

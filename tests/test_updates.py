@@ -112,6 +112,42 @@ def test_remove_durable_through_add_points(base):
     assert not (set(np.asarray(ids).ravel().tolist()) & set(victims.tolist()))
 
 
+def test_reverse_edge_repair_updates_old_rows(base):
+    """Round-4: an old point whose true kNN now includes a new point gets
+    its graph row repaired (the reverse-edge offer) — old rows can reach
+    new points through supercharge without a rebuild."""
+    X, index, rng = base
+    # place each new point ON an old point: the old point's nearest
+    # neighbor is now the new point (distance ~0), and symmetrically the
+    # old point is in the new point's top-k, so the repair must fire
+    targets = np.arange(0, 40, 2)
+    Y = X[targets] + 1e-4
+    idx2 = index.add_points(Y)
+    g_old = np.asarray(idx2.graph[targets])
+    new_ids = index.n + np.arange(len(targets))
+    hit = np.array([new_ids[i] in g_old[i] for i in range(len(targets))])
+    assert hit.all(), hit
+    # repaired rows stay exact: each equals the true kNN over the grown
+    # corpus for those rows
+    allp = np.concatenate([np.asarray(X), np.asarray(Y)])
+    for i in (0, 5, 11):
+        u = targets[i]
+        d2 = ((allp - allp[u]) ** 2).sum(1)
+        d2[u] = np.inf
+        want = set(np.argsort(d2)[:5].tolist())
+        assert set(g_old[i].tolist()) == want
+
+
+def test_reverse_edge_repair_off_preserves_old_behavior(base):
+    X, index, rng = base
+    Y = X[:8] + 1e-4
+    idx2 = index.add_points(Y, repair_reverse_edges=False)
+    # old rows stale by design: no old row points at a NEW id (the
+    # sentinel n_new is allowed — it's the rewritten old sentinel)
+    g_old = np.asarray(idx2.graph[: index.n])
+    assert not ((g_old >= index.n) & (g_old < idx2.n)).any()
+
+
 def test_bulk_add_matches_bucket_semantics(base):
     # vectorized append: every new point lands at slot counts[b] + rank
     # (first-free-slot order), counts track true occupancy, overflow drops
