@@ -39,6 +39,15 @@ import jax.numpy as jnp
 # practical bound is corpus-fits-in-HBM, ~8M x 128 f32 per 16 GB chip).
 EXACT_MAX_N_DEFAULT = 8_000_000
 
+# At and above this corpus size the exact mode serves through the
+# two-phase engine (emit per-segment minima + top-segment DMA rescan,
+# ops/pallas_exact.exact_knn_twophase): measured at 10M — bf16 34.8 ms vs
+# the rank kernel's 45.1, int8 33.6 vs 42.2, f32-split3 66.1 vs 75.6, all
+# at id-agreement 1.0 — while at 1M the fixed rescan cost loses at every
+# tier (7.1 vs 6.6 bf16).  Crossover modeled ~2-3M; 4M is the
+# conservative routing point (scripts/exp_twophase*.py, round 4).
+TWOPHASE_MIN_N = 4_000_000
+
 # Packed-serving engine routing: at and above this many queries per call
 # the fused probe-window Pallas kernel wins at 1M points (measured 1.6-
 # 2.6x at batch=1000, loses at batch=100 — fixed grid-step costs
@@ -100,6 +109,10 @@ class Server:
     packed: Any = None  # PackedIndex when layout == "packed"
     n_probes: int | None = None
     _search_kw: dict = field(default_factory=dict)
+    # staged lane-padded corpus for the two-phase exact engine's DMA
+    # rescan (None = serve through the rank kernel / d already 128-mult)
+    _rescan: Any = None
+    _twophase: bool = False
 
     @classmethod
     def build(
@@ -170,6 +183,19 @@ class Server:
             from ..data.preprocess import prepare_points
 
             srv.points = prepare_points(points, metric)
+        if (mode == "exact" and n >= TWOPHASE_MIN_N and k + 2 <= 128
+                and jnp.dtype(points.dtype).itemsize <= 4):
+            # large-corpus exact serving rides the two-phase engine
+            # (emit + DMA rescan — measured 1.09-1.30x the rank kernel
+            # at 10M, id-identical); stage its lane-padded rescan buffer
+            # once (+d_pad/d x corpus bytes; skip if HBM can't take it)
+            from ..ops.pallas_exact import stage_rescan_corpus
+
+            try:
+                srv._rescan = stage_rescan_corpus(srv.points)
+                srv._twophase = True
+            except Exception:
+                srv._twophase = False
         if mode == "hash":
             from .build import build
 
@@ -202,8 +228,19 @@ class Server:
                 queries = prepare_points(
                     jnp.asarray(queries, qdt), self.metric
                 )
-            return exact_search(self.points, queries, k,
-                                **{**self._search_kw, **kw})
+            skw = {**self._search_kw, **kw}
+            if (self._twophase and k + 2 <= 128
+                    and not skw.pop("no_twophase", False)
+                    and all(d_.platform != "cpu"
+                            for d_ in self.points.devices())):
+                from ..ops.pallas_exact import exact_knn_twophase
+
+                skw.setdefault("scale", None)
+                return exact_knn_twophase(
+                    self.points, jnp.asarray(queries, jnp.float32), k,
+                    rescan_corpus=self._rescan, **skw,
+                )
+            return exact_search(self.points, queries, k, **skw)
         kw = {**self._search_kw, **kw}  # pinned knobs (e.g. tuned rerank)
         kw.setdefault("n_probes", self.n_probes)
         if self.packed is not None:
@@ -265,6 +302,8 @@ class Server:
                        else None),
             "storage_dtype": str(jnp.dtype(self.points.dtype)),
         }
+        if self.mode == "exact":
+            d["exact_engine"] = "twophase" if self._twophase else "rank"
         if self.index is not None:
             d["layout"] = "packed" if self.packed is not None else "table"
             d["index_mb"] = round(

@@ -99,6 +99,19 @@ def main(argv=None) -> int:
     except Exception as e:
         gate("exact_int8", False, error=repr(e)[:300])
 
+    # --- two-phase exact engine (emit + DMA rescan kernels) ------------
+    try:
+        from ..ops.pallas_exact import exact_knn_twophase
+
+        t0 = time.perf_counter()
+        ids_t, _ = exact_knn_twophase(X, Y, k)
+        fence([ids_t])
+        rec = recall_at_k(t_ids, np.asarray(ids_t), k)
+        gate("exact_twophase", rec >= 1.0, recall=round(rec, 5),
+             secs=round(time.perf_counter() - t0, 2))
+    except Exception as e:
+        gate("exact_twophase", False, error=repr(e)[:300])
+
     # --- fused probe kernel near the Mosaic envelope -------------------
     # window=256 / P=48 / rerank=50 / bq=32 is the measured compile
     # boundary (BASELINE.md 1M high-recall section: rerank=100 at this

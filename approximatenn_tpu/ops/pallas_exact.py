@@ -334,6 +334,56 @@ def _kernel_rank(q_ref, qn_ref, excl_ref, pts_ref, out_i_ref,
         out_i_ref[:] = jnp.where(jnp.isinf(d_), n, run_i[iq])
 
 
+def _kernel_emit(q_ref, excl_ref, pts_ref, out_d_ref, out_i_ref, *,
+                 n: int, tile: int, seg: int, has_excl: bool,
+                 has_pad: bool, precision=None):
+    """Phase 1 of the TWO-PHASE merge experiment (round-4 VERDICT item 4):
+    no running state, no merge, no data-dependent loop — each grid step
+    computes the transposed distance block and emits only the
+    per-segment minima (value + arg id) of ``seg``-row segments to HBM.
+    A tiny phase-2 merge (XLA top-k over the ~(n/seg) candidates per
+    query) then selects the final k.
+
+    This deletes the rank-insert machinery from the hot loop entirely;
+    per step the mandatory work is the matmul + distance FMA + two
+    segment reductions.  FIDELITY CAVEAT: one candidate per segment
+    means two true top-k members falling in the same segment lose one
+    of them — collision probability per query ~ C(k,2) * seg / n
+    (0.05% at k=10, seg=512, n=10M); measured, not assumed, in the A/B
+    (scripts/exp_twophase.py).  Exactness would need a rescan phase of
+    segments below the merged threshold; built only if the emit shape
+    wins (see BASELINE.md round-4 two-phase section for the verdict).
+    """
+    t = pl.program_id(0)  # corpus-major: reuse the resident tile
+    qb = q_ref[:]  # (d, B)
+    tile_pts = pts_ref[:]
+    base = t * tile
+    gids = base + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    ptf = tile_pts.astype(jnp.float32)
+    pn = jnp.sum(ptf * ptf, axis=-1, keepdims=True)
+    if jnp.issubdtype(tile_pts.dtype, jnp.integer):
+        dots = jax.lax.dot_general(
+            tile_pts, qb, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        dots = _dist_dot(
+            tile_pts, qb, (((1,), (0,)), ((), ())), precision
+        )
+    dd = pn - 2.0 * dots  # score domain (qn added once in phase 2)
+    if has_pad:
+        dd = jnp.where(gids < n, dd, jnp.inf)
+    if has_excl:
+        dd = jnp.where(gids == excl_ref[:], jnp.inf, dd)
+    n_seg2 = tile // seg
+    dd3 = dd.reshape(n_seg2, seg, -1)
+    nd = jnp.min(dd3, axis=1)  # (n_seg2, B)
+    am = jnp.argmin(dd3, axis=1).astype(jnp.int32)
+    seg_off = jax.lax.broadcasted_iota(jnp.int32, am.shape, 0) * seg
+    out_d_ref[:] = nd
+    out_i_ref[:] = base + seg_off + am
+
+
 def _kernel(q_ref, qn_ref, excl_ref, pts_ref, pn_ref, out_i_ref, out_d_ref,
             run_d, run_i, *, k: int, n: int, tile: int, n_tiles: int,
             precision=None):
@@ -599,7 +649,7 @@ def _stream_kernel(q_ref, qn_ref, excl_ref, pts_hbm, pn_hbm, out_i_ref,
     jax.jit,
     static_argnames=(
         "k", "tile", "query_block", "interpret", "compute_dtype", "stream",
-        "merge", "matmul_precision",
+        "merge", "matmul_precision", "twophase_seg",
     ),
 )
 def exact_knn_pallas(
@@ -616,6 +666,7 @@ def exact_knn_pallas(
     stream: bool | None = None,
     merge: str = "rank",
     matmul_precision: str = "highest",
+    twophase_seg: int = 512,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact k nearest neighbors, fused streaming kernel.
 
@@ -655,6 +706,11 @@ def exact_knn_pallas(
     corpus-major grid on long streams) or "rescan" (the round-1 form:
     one global-min extraction per round with block rewrites).  Identical
     results; rank measured 1.07-1.7x faster everywhere (BASELINE.md).
+    "twophase" (round-4, EXPERIMENTAL) emits only per-``twophase_seg``
+    segment minima and merges in XLA — near-floor per-step cost but NOT
+    exact when two true top-k members share a segment (collision
+    ~C(k,2)*seg/n per query; see :func:`_kernel_emit` and the A/B in
+    scripts/exp_twophase.py).
 
     **int8 storage tier**: ``points`` int8 with ``scale`` (the () f32
     symmetric-quantization step, rows = round(x / scale) in [-127, 127],
@@ -736,7 +792,7 @@ def exact_knn_pallas(
         # tile=8192 measured faster than bq=512 anyway (fewer rounds per
         # merge: the round count is a max over the block's rows)
         query_block = (
-            256 if merge == "rank"
+            256 if merge in ("rank", "twophase")
             else 512 if (n >= (1 << 19) and d <= 128) else 256
         )
     tile = min(tile, max(8, n))
@@ -871,7 +927,7 @@ def exact_knn_pallas(
             dd = dd * (scale * scale).astype(f32)
         return ids, dd
 
-    if merge not in ("rank", "rescan"):
+    if merge not in ("rank", "rescan", "twophase"):
         raise ValueError(f"unknown merge style {merge!r}")
     # the default 16 MB scoped-vmem budget caps tile*bq well below what
     # the 128 MB VMEM allows; size the limit from the actual tenants
@@ -894,6 +950,58 @@ def exact_knn_pallas(
         + (20 << 20),
         110 << 20,
     )
+    if merge == "twophase":
+        # EXPERIMENTAL (round-4 item 4): emit per-segment minima only,
+        # merge in XLA.  See _kernel_emit for the fidelity caveat; A/B
+        # in scripts/exp_twophase.py.
+        seg = twophase_seg
+        while seg > 8 and (tile % seg or (tile // seg) % 8):
+            seg //= 2
+        seg = max(8, min(seg, tile // 8))
+        n_seg2 = tile // seg
+        kernel = functools.partial(
+            _kernel_emit, n=n, tile=tile, seg=seg, has_excl=has_excl,
+            has_pad=(n_tiles * tile != n), precision=mxu_prec,
+        )
+        out_d_c, out_i_c = pl.pallas_call(
+            kernel,
+            grid=(n_tiles, nq_blocks),  # corpus-major (stateless steps)
+            in_specs=[
+                pl.BlockSpec((d, bq), lambda t, iq: (0, iq),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq), lambda t, iq: (0, iq),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, d), lambda t, iq: (t, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((n_seg2, bq), lambda t, iq: (t, iq),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_seg2, bq), lambda t, iq: (t, iq),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles * n_seg2, mp), f32),
+                jax.ShapeDtypeStruct((n_tiles * n_seg2, mp), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit,
+            ),
+            interpret=interpret,
+        )(qp.astype(cdt).T, ep.T, pts_c)
+        from .topk import topk_no_dedup
+
+        # phase 2: k-th order statistics of the ~(n/seg) per-query
+        # candidates; segment ids are unique by construction
+        dd_c = out_d_c.T + qn  # score -> true squared distance
+        ids_c = out_i_c.T
+        ids2, dd2 = topk_no_dedup(dd_c, ids_c, k)
+        ids = jnp.where(jnp.isinf(dd2[:m]), n, ids2[:m]).astype(itype)
+        dd = dd2[:m]
+        if quant:
+            dd = dd * (scale * scale).astype(f32)
+        return ids, dd
+
     if merge == "rank":
         # transposed layout: distances live (tile, bq) in-kernel so the
         # segment view splits the outer dim (free); queries go in
@@ -992,6 +1100,252 @@ def exact_knn_pallas(
     return ids, dd
 
 
+def _kernel_rescan(q_ref, ss_ref, sv_ref, pts_hbm, out_i_ref, out_d_ref,
+                   win, sems, *, k: int, n: int, seg: int, P: int,
+                   bq: int, P_wave: int, align: int):
+    """Phase 3 of the exact two-phase engine: DMA each query's selected
+    segments (P windows of ``seg`` rows) HBM->VMEM and select the final
+    top-k on-chip.  The XLA-gather form of this phase measured ~70 ms at
+    10M (6.1M rows through the gather wall, rule 9); window DMAs read
+    the same rows at HBM speed.  Same wave-issued copy pattern, SMEM
+    pre-divided offsets, and dedup-by-position selection as the probe
+    kernel (``ops/pallas_probe.py``)."""
+    def copy(qq, p, p0):
+        s = ss_ref[qq, p] * align
+        return pltpu.make_async_copy(
+            pts_hbm.at[pl.ds(s, seg), :],
+            win.at[qq, pl.ds(p * seg, seg), :],
+            sems.at[qq, p - p0],
+        )
+
+    for p0 in range(0, P, P_wave):
+        p1 = min(p0 + P_wave, P)
+        for qq in range(bq):
+            for p in range(p0, p1):
+                copy(qq, p, p0).start()
+        for qq in range(bq):
+            for p in range(p0, p1):
+                copy(qq, p, p0).wait()
+
+    qv = q_ref[:].astype(jnp.float32)  # (bq, d)
+    w = win[:].astype(jnp.float32)  # (bq, L, d), L = P*seg
+    diff = w - qv[:, None, :]
+    dd = jnp.sum(diff * diff, axis=-1)  # (bq, L)
+
+    # global row ids per lane: window p's lane j holds s_p + (j - p*seg).
+    # Clamped windows can overlap -> duplicate positions; the masked-min
+    # loop below dedups by position exactly as the probe kernel does.
+    sv = sv_ref[:] * align  # (bq, P)
+    L = P * seg
+    j = jax.lax.broadcasted_iota(jnp.int32, (bq, L), 1)
+    pos = jnp.zeros((bq, L), jnp.int32)
+    for p in range(P):
+        pos = jnp.where(
+            (j >= p * seg) & (j < (p + 1) * seg),
+            sv[:, p:p + 1] + (j - p * seg),
+            pos,
+        )
+    dd = jnp.where(pos < n, dd, jnp.inf)
+
+    big = jnp.iinfo(jnp.int32).max
+    d_, p_ = dd, pos
+    outs_d, outs_p = [], []
+    for _ in range(k):
+        dmin = jnp.min(d_, axis=-1, keepdims=True)
+        pmin = jnp.min(jnp.where(d_ == dmin, p_, big), axis=-1,
+                       keepdims=True)
+        pmin = jnp.where(jnp.isinf(dmin), n, pmin)
+        outs_d.append(dmin)
+        outs_p.append(pmin)
+        d_ = jnp.where(p_ == pmin, jnp.inf, d_)
+    out_d_ref[:] = jnp.concatenate(outs_d, axis=-1)
+    out_i_ref[:] = jnp.concatenate(outs_p, axis=-1)
+
+
+def _rescan_pallas(points, queries, seg_starts, k: int, *, seg: int,
+                   interpret: bool):
+    """Run :func:`_kernel_rescan` over per-query align-clamped segment
+    starts (``seg_starts`` (m, P) int32, already align-divisible and in
+    [0, n_floor - seg]).  Returns (ids (m, k), dists (m, k)) ascending,
+    sentinel n."""
+    n, d = points.shape
+    m, P = seg_starts.shape
+    csize = jnp.dtype(points.dtype).itemsize
+    align = {4: 8, 2: 16, 1: 32}[csize]
+    bq = 16
+    while bq > 8 and P * seg * d * (csize + 4) * bq > (80 << 20):
+        bq //= 2
+    P_wave = max(1, 384 // bq)
+    nq_blocks = math.ceil(m / bq)
+    mp = nq_blocks * bq
+    if mp != m:
+        queries = jnp.pad(queries, [(0, mp - m), (0, 0)])
+        seg_starts = jnp.pad(seg_starts, [(0, mp - m), (0, 0)])
+    ss = seg_starts // align
+    L = P * seg
+    qdt = jnp.float32 if points.dtype == jnp.int8 else points.dtype
+    kernel = functools.partial(
+        _kernel_rescan, k=k, n=n, seg=seg, P=P, bq=bq, P_wave=P_wave,
+        align=align,
+    )
+    out_i, out_d = pl.pallas_call(
+        kernel,
+        grid=(nq_blocks,),
+        in_specs=[
+            pl.BlockSpec((bq, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, P), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((bq, P), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # corpus stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((bq, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, k), jnp.int32),
+            jax.ShapeDtypeStruct((mp, k), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, L, d), points.dtype),
+            pltpu.SemaphoreType.DMA((bq, min(P, P_wave))),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                bq * L * d * (csize + 4) + 8 * bq * L * 4 + (8 << 20),
+                100 << 20,
+            ),
+        ),
+        interpret=interpret,
+    )(queries.astype(qdt), ss, ss, points)
+    return out_i[:m], out_d[:m]
+
+
+def stage_rescan_corpus(points):
+    """Lane-pad a corpus to a 128 multiple for the two-phase engine's DMA
+    rescan (window DMAs require 128-aligned lane slices — the same Mosaic
+    tiling rule the probe kernel documents).  Zero pad lanes contribute 0
+    to every distance.  Stage ONCE and pass to
+    :func:`exact_knn_twophase` as ``rescan_corpus``; without it, a
+    non-128-multiple d pays a corpus-sized pad per call."""
+    d = points.shape[1]
+    d_pad = -(-d // 128) * 128
+    if d_pad == d:
+        return points
+    return jnp.pad(points, [(0, 0), (0, d_pad - d)])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "seg", "pad_segments", "interpret", "rescan",
+                     "matmul_precision"),
+)
+def exact_knn_twophase(points, queries, k: int, *, seg: int = 512,
+                       pad_segments: int = 2, scale=None,
+                       interpret: bool = False, rescan: str = "dma",
+                       rescan_corpus=None,
+                       matmul_precision: str = "highest"):
+    """EXACT two-phase kNN: emit kernel + segment rescan (round-4).
+
+    Phase 1 (:func:`_kernel_emit`) streams the corpus and emits only
+    per-``seg``-row segment minima — no in-kernel merge state, so the
+    per-step cost sits near the stream+matmul floor (measured 10M bf16:
+    28.8-30.7 ms vs the rank kernel's 45.5).  Phase 2 takes the
+    ``k + pad_segments`` best SEGMENTS per query (by their minima).
+    Phase 3 rescans exactly those segments' rows and takes the final
+    top-k.
+
+    Exactness: the k-th smallest segment minimum is a true distance of
+    some point, so the true k-th neighbor distance D_k <= it; any true
+    top-k member p has d(p) <= D_k, hence p's segment minimum <= D_k,
+    hence p's segment ranks among the k best segments.  Rescanning the
+    top-(k + pad_segments) segments (padding absorbs distance ties)
+    therefore covers every true top-k member — the result equals the
+    exhaustive kernel's id set (A/B-gated at 10M,
+    scripts/exp_twophase.py).
+    """
+    from .distance import blocked_over_rows, candidate_dists
+    from .topk import merge_topk, topk_no_dedup
+
+    n, d = points.shape
+    m = queries.shape[0]
+    P = k + pad_segments
+    csize = jnp.dtype(points.dtype).itemsize
+    align = {4: 8, 2: 16, 1: 32}[csize]
+    if rescan not in ("dma", "xla"):
+        raise ValueError(f"rescan must be 'dma' or 'xla', got {rescan!r}")
+    if seg % align:
+        raise ValueError(f"seg={seg} must be a multiple of {align} "
+                         f"(DMA row alignment for this dtype)")
+    sel_ids, _ = exact_knn_pallas(
+        points, queries, P, scale=scale, merge="twophase",
+        twophase_seg=seg, interpret=interpret,
+        matmul_precision=matmul_precision,
+    )
+    # winner ids -> their (globally contiguous) segment indices; one
+    # candidate per segment makes these unique per query.  Sentinel ids
+    # (exhausted rows) map past the last segment and mask to n below.
+    seg_ids = jnp.minimum(sel_ids, n - 1) // seg
+    exhausted = sel_ids >= n
+    qf = queries.astype(jnp.float32)
+    if scale is not None:
+        qf = jnp.clip(jnp.round(qf / scale), -127, 127)
+
+    n_floor = (n // align) * align
+    if rescan == "dma" and n_floor >= seg:
+        if rescan_corpus is None:
+            rescan_corpus = points if (d % 128 == 0 or interpret) \
+                else stage_rescan_corpus(points)
+        d_res = rescan_corpus.shape[1]
+        qr = qf if d_res == d else jnp.pad(qf, [(0, 0), (0, d_res - d)])
+        # window DMAs at align-clamped starts (the straddling last
+        # segment clamps down to n_floor - seg: its real rows stay
+        # covered, the extra earlier rows are valid candidates, and
+        # overlap duplicates dedup by position in-kernel).  Rows
+        # [n_floor, n) — at most align-1 of them — are outside every
+        # clampable window and merge in via one tiny XLA pass.
+        s_eff = jnp.clip(seg_ids * seg, 0, n_floor - seg).astype(jnp.int32)
+        ids_r, dd_r = _rescan_pallas(
+            rescan_corpus, qr, s_eff, k, seg=seg, interpret=interpret,
+        )
+        ids_r = ids_r.astype(itype)
+        if n_floor < n:
+            tail = jnp.arange(n_floor, n, dtype=itype)
+            cand_t = jnp.broadcast_to(tail[None, :], (m, n - n_floor))
+            dd_t = candidate_dists(qf, points, cand_t)
+            tids, tdd = topk_no_dedup(dd_t, cand_t, min(k, n - n_floor))
+            ids_r, dd_r = merge_topk(ids_r, dd_r, tids, tdd, k, n)
+        ids, dd = ids_r, dd_r
+    else:
+        # XLA-gather rescan: measured ~70 ms at 10M (the gather wall,
+        # CLAUDE.md rule 9) — kept as the reference form and the tiny-n
+        # fallback
+        lane = jnp.arange(seg, dtype=jnp.int32)
+        rows = (seg_ids[..., None] * seg + lane).reshape(m, P * seg)
+        rows = jnp.where(
+            (rows < n) & ~jnp.repeat(exhausted, seg, axis=-1), rows, n
+        ).astype(jnp.int32)
+
+        def stage(qb, cb):
+            dd = candidate_dists(qb, points, cb)
+            return topk_no_dedup(dd, cb, k)
+
+        bq = max(1, min(m, (64 << 20) // max(1, P * seg * 4)))
+        ids, dd = blocked_over_rows(
+            stage, m, bq, qf.astype(points.dtype)
+            if points.dtype in (jnp.bfloat16, jnp.float16) else qf,
+            rows, pad_values=(0.0, n),
+        )
+    ids = jnp.where(jnp.isinf(dd), n, ids).astype(itype)
+    if scale is not None:
+        dd = dd * (scale * scale).astype(jnp.float32)
+    return ids, dd
+
+
 def _platform_of(x) -> str:
     """Platform the computation will actually run on: the array's device
     when known (the CPU-as-oracle harness runs with arrays placed on cpu
@@ -1087,7 +1441,14 @@ def exact_search(points, queries, k: int, **kw):
     An int8 corpus (from :func:`quantize_corpus`) requires ``scale=``;
     off-TPU it is dequantized for the XLA oracle (same neighbor sets as
     the quantized-domain kernel up to ties — both rank the identical
-    quantized values)."""
+    quantized values).
+
+    **Supported k envelope** (measured 1M x 128, m=1000, round 4,
+    /tmp/r4_largek.log): the fused kernel serves k <= 128 — 26.2k QPS at
+    k=100, 21.1k at k=128.  Past 128 this function silently degrades to
+    the XLA brute-force path (lax.top_k sorting networks): 1.3k QPS at
+    k=256, 0.7-1.1k at k=512-1000 — correct but ~20-30x slower; treat
+    k > 128 as an offline/batch capability, not a serving tier."""
     points = jnp.asarray(points)
     if _platform_of(points) in ("tpu", "axon") and k <= 128:
         # a bf16/f16/int8 corpus is streamed at storage width (see

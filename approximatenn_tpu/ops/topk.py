@@ -136,7 +136,25 @@ def topk_iter(dists: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     k passes of argmin with positional masking — the TPU-fast replacement
     for ``lax.top_k`` (which lowers to a full sorting network; see module
     docstring).  Ties resolve to the lowest position, like ``lax.top_k``.
+
+    Above ``_ITER_K_MAX`` the unrolled pass count inverts the tradeoff
+    (1000 argmin sweeps lose to one O(L log^2 L) sorting network, and the
+    unrolled program bloats compile time), so large k falls back to
+    ``lax.top_k`` — same contract, same lowest-position tie rule.
     """
+    if k > _ITER_K_MAX:
+        kk = min(k, dists.shape[-1])
+        neg, j = jax.lax.top_k(-dists, kk)
+        j, d = j.astype(jnp.int32), -neg
+        if kk < k:
+            pad = k - kk
+            j = jnp.concatenate(
+                [j, jnp.full(j.shape[:-1] + (pad,), dists.shape[-1],
+                             jnp.int32)], axis=-1)
+            d = jnp.concatenate(
+                [d, jnp.full(d.shape[:-1] + (pad,), jnp.inf, d.dtype)],
+                axis=-1)
+        return j, d
     pos = jax.lax.broadcasted_iota(jnp.int32, dists.shape, dists.ndim - 1)
     out_j, out_d = [], []
     cur = dists

@@ -245,6 +245,24 @@ def main() -> int:
             result["exact_1m_bf16_recall_at_10"] = round(
                 recall_at_k(np.asarray(tq1), np.asarray(out_b[0]), k), 4
             )
+            del X1b
+            # split3 tier (round 4): the 3-pass split-factor f32 dot —
+            # truly exact (f64-oracle-gated ranking, scripts/exp_split3)
+            # at ~1.5x the HIGHEST tier's throughput
+            out_s = ann.exact_search(X1, Y1, k, matmul_precision="split3")
+            drain([out_s])
+            best_s = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                outs_s = [ann.exact_search(X1, Y1, k,
+                                           matmul_precision="split3")
+                          for _ in range(reps1)]
+                drain(outs_s)
+                best_s = min(best_s, (time.perf_counter() - t0) / reps1)
+            result["exact_1m_split3_qps"] = round(ycnt / best_s, 1)
+            result["exact_1m_split3_recall_at_10"] = round(
+                recall_at_k(np.asarray(tq1), np.asarray(out_s[0]), k), 4
+            )
         except Exception:
             pass
     print(json.dumps(result))

@@ -35,6 +35,13 @@ def main():
     ap.add_argument("--target", type=float, default=0.9)
     ap.add_argument("--packed-dtype", default="float32",
                     choices=["int8", "bfloat16", "float32"])
+    ap.add_argument("--window-grid", type=int, nargs="+",
+                    default=[8, 32, 96, 192],
+                    help="round-4 default reaches the published frontier "
+                         "windows (96-192)")
+    ap.add_argument("--exact-tiers", nargs="+",
+                    default=["f32", "bf16", "int8"],
+                    help="exact-engine storage tiers to trial")
     ap.add_argument("--batch", type=int, nargs="+", default=None,
                     help="serving batch size(s) to tune at (default: nq); "
                          "multiple values record one report per batch — "
@@ -70,8 +77,13 @@ def main():
         rep = ann.tune(
             X, args.k, queries=Y, batch=b, target_recall=args.target,
             tries=args.tries, capacity=cap,
-            probe_grid=(None, 18, 48), window_grid=(8, 32),
-            rerank_grid=(None, 50), packed_dtype=pdt,
+            probe_grid=(None, 18, 48),
+            window_grid=tuple(args.window_grid),
+            rerank_grid=(None, 50),
+            exact_tiers=tuple(
+                None if t == "f32" else t for t in args.exact_tiers
+            ),
+            packed_dtype=pdt,
             measure_all=True, verbose=True,
         )
         dt = round(time.perf_counter() - t0, 1)

@@ -87,6 +87,63 @@ class TestExactKNNPallas:
             np.asarray(da), np.sort(d64, 1)[:, :10], rtol=1e-4, atol=1e-4
         )
 
+    def test_twophase_merge_matches_reference_semantics(self, rng):
+        """The experimental two-phase merge (emit per-segment minima,
+        XLA phase-2 top-k) matches a numpy emulation of the SAME
+        semantics exactly — validating the emit/merge plumbing; its
+        fidelity-vs-exact tradeoff is measured on hardware
+        (scripts/exp_twophase.py)."""
+        n, d, m, k, tile, seg = 4096, 32, 24, 5, 512, 64
+        pf = rng.standard_normal((n, d)).astype(np.float32)
+        qf = rng.standard_normal((m, d)).astype(np.float32)
+        ia, da = exact_knn_pallas(
+            jnp.asarray(pf), jnp.asarray(qf), k, tile=tile,
+            query_block=8, interpret=True, merge="twophase",
+            twophase_seg=seg,
+        )
+        # numpy emulation: per-segment minima then top-k of those
+        d2 = ((qf[:, None, :] - pf[None, :, :]) ** 2).sum(-1)  # (m, n)
+        segd = d2.reshape(m, n // seg, seg)
+        nd = segd.min(-1)
+        ni = segd.argmin(-1) + np.arange(n // seg)[None, :] * seg
+        order = np.argsort(nd, 1, kind="stable")[:, :k]
+        want_i = np.take_along_axis(ni, order, 1)
+        want_d = np.take_along_axis(nd, order, 1)
+        np.testing.assert_array_equal(np.asarray(ia), want_i)
+        np.testing.assert_allclose(np.asarray(da), want_d, rtol=1e-4,
+                                   atol=1e-4)
+
+    @pytest.mark.parametrize("dt", ["f32", "bf16", "int8"])
+    def test_twophase_exact_engine_matches_oracle(self, rng, dt):
+        """The EXACT two-phase engine (emit + top-segment DMA rescan):
+        id sets equal the brute-force oracle in every storage tier,
+        including n that straddles segment and alignment boundaries
+        (clamped windows + XLA tail merge)."""
+        from approximatenn_tpu.ops.pallas_exact import exact_knn_twophase
+
+        n, d, m, k, seg = 4099, 32, 30, 8, 64
+        Xf = rng.standard_normal((n, d)).astype(np.float32)
+        Y = jnp.asarray(rng.standard_normal((m, d)).astype(np.float32))
+        sc = None
+        if dt == "f32":
+            X = jnp.asarray(Xf)
+            oracle_p, oracle_q = X, Y
+        elif dt == "bf16":
+            X = jnp.asarray(Xf).astype(jnp.bfloat16)
+            oracle_p = X.astype(jnp.float32)
+            oracle_q = Y.astype(jnp.bfloat16).astype(jnp.float32)
+        else:
+            X, sc = quantize_corpus(jnp.asarray(Xf))
+            oracle_p = X.astype(jnp.float32) * sc
+            oracle_q = jnp.clip(jnp.round(Y / sc), -127, 127) * sc
+        ia, da = exact_knn_twophase(X, Y, k, seg=seg, scale=sc,
+                                    interpret=True)
+        ib, db = brute_force_knn(oracle_p, oracle_q, k)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(ia), 1), np.sort(np.asarray(ib), 1)
+        )
+        assert (np.diff(np.asarray(da), axis=1) >= -1e-5).all()
+
     def test_rejects_unknown_precision(self, rng):
         p = jnp.asarray(rng.standard_normal((64, 8)).astype(np.float32))
         with pytest.raises(ValueError, match="matmul_precision"):
