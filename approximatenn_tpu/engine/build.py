@@ -429,9 +429,11 @@ def build(
     +0.23-0.34 recall@10 through serve-time supercharge at 10M, +0.14 at
     1M, BASELINE.md) and extrapolates to ~30 min at 16M.  Past 16M the
     hash approximation is the affordable default; pass
-    graph_mode="exact" to override either way, and
-    graph_precision="default" to halve graph kernel time (bf16-factor
-    edge ranking, ~0.5% of edges).
+    graph_mode="exact" to override either way.  ``graph_precision``:
+    "highest" (default, provably exact edge ranking), "split3" (the
+    3-pass split-factor tier — 1.53x faster kernel, edge agreement
+    0.99999 at 1M, the recommended setting for huge builds), or
+    "default" (~2x faster, bf16-factor ranking, ~0.5% of edges).
     """
     n, d = points.shape
     if n >= 2**31:

@@ -46,6 +46,11 @@ EXACT_MAX_N_DEFAULT = 8_000_000
 # at id-agreement 1.0 — while at 1M the fixed rescan cost loses at every
 # tier (7.1 vs 6.6 bf16).  Crossover modeled ~2-3M; 4M is the
 # conservative routing point (scripts/exp_twophase*.py, round 4).
+# At 32M the verdict is DATA-dependent: two-phase is constant-cost
+# (99.5 ms int8) while the rank kernel swings 79-119 ms with how often
+# its merge fires (queries-near-points vs iid).  Two-phase stays the
+# route (worst-case-optimal, jitter-free); workloads living in the
+# clustered best case pass no_twophase=True per call.
 TWOPHASE_MIN_N = 4_000_000
 
 # Packed-serving engine routing: at and above this many queries per call
