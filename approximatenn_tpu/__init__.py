@@ -23,7 +23,12 @@ from .engine.serving import Server
 from .engine.tuning import TuneReport, tune
 from .index import ANNIndex, PackedIndex
 from .ops.distance import brute_force_knn, brute_force_knn_self
-from .ops.pallas_exact import exact_search, quantize_corpus
+from .ops.pallas_exact import (
+    exact_knn_twophase,
+    exact_search,
+    quantize_corpus,
+    stage_rescan_corpus,
+)
 
 __version__ = "0.1.0"
 
@@ -64,5 +69,6 @@ __all__ = [
     "ANNIndex", "PackedIndex", "Server", "build", "build_graph_only",
     "search", "search_packed", "search_packed_fused", "precomp", "query",
     "brute_force_knn", "brute_force_knn_self", "exact_search",
+    "exact_knn_twophase", "stage_rescan_corpus",
     "quantize_corpus", "ftype", "itype", "set_ftype", "tune", "TuneReport",
 ]

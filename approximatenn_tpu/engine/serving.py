@@ -44,14 +44,15 @@ EXACT_MAX_N_DEFAULT = 8_000_000
 # ops/pallas_exact.exact_knn_twophase): measured at 10M — bf16 34.8 ms vs
 # the rank kernel's 45.1, int8 33.6 vs 42.2, f32-split3 66.1 vs 75.6, all
 # at id-agreement 1.0 — while at 1M the fixed rescan cost loses at every
-# tier (7.1 vs 6.6 bf16).  Crossover modeled ~2-3M; 4M is the
-# conservative routing point (scripts/exp_twophase*.py, round 4).
+# tier (7.1 vs 6.6 bf16).  Crossover measured between 1M and 2M (bf16:
+# two-phase wins 1.15x at 2M, 1.31x at 4M; loses 0.93x at 1M —
+# /tmp/r4_crossover.log), so 2M is the routing point.
 # At 32M the verdict is DATA-dependent: two-phase is constant-cost
 # (99.5 ms int8) while the rank kernel swings 79-119 ms with how often
 # its merge fires (queries-near-points vs iid).  Two-phase stays the
 # route (worst-case-optimal, jitter-free); workloads living in the
 # clustered best case pass no_twophase=True per call.
-TWOPHASE_MIN_N = 4_000_000
+TWOPHASE_MIN_N = 2_000_000
 
 # Packed-serving engine routing: at and above this many queries per call
 # the fused probe-window Pallas kernel wins at 1M points (measured 1.6-

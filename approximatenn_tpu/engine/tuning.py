@@ -313,28 +313,28 @@ def tune(
     if include_exact and k <= 128:
         # one trial per exact storage tier (round-4: bf16/int8 are the
         # winning tiers at 10M+, BASELINE.md — the old space could not
-        # express them).  Tiers cost a corpus-sized staging copy each;
-        # recall is vs the f32 oracle (None = 1.0 by construction,
-        # bf16 ~0.99, int8 ~0.95 — measured, not assumed).
+        # express them).  Trials dispatch through Server.search so the
+        # measured path IS the production path — including the
+        # two-phase-engine routing at n >= TWOPHASE_MIN_N.  Recall is vs
+        # the f32 oracle (None = 1.0 by construction, bf16 ~0.99, int8
+        # ~0.95 — measured, not assumed).
         for tier in exact_tiers:
-            if tier is None:
-                corp, tscale = pts_m, None
-            elif tier == "bf16":
-                corp, tscale = pts_m.astype(jnp.bfloat16), None
-            elif tier == "int8":
-                from ..ops.pallas_exact import quantize_corpus
-
-                corp, tscale = quantize_corpus(pts_m)
-            else:
+            if tier not in (None, "bf16", "int8"):
                 raise ValueError(f"unknown exact tier {tier!r}")
+            dt = {None: None, "bf16": jnp.bfloat16,
+                  "int8": jnp.int8}[tier]
+            srv_e = Server.build(pts_m, k, mode="exact", metric="l2",
+                                 storage_dtype=dt)
 
-            def run_exact_on(qa, corp=corp, tscale=tscale):
-                return exact_search(corp, qa, k, scale=tscale)
+            def run_exact_on(qa, srv_e=srv_e):
+                return srv_e.search(qa)
 
             def run_exact(run_on=run_exact_on):
                 return run_on(q_m_run)
 
             knobs = {} if tier is None else {"storage_dtype": tier}
+            if srv_e._twophase:
+                knobs["exact_engine"] = "twophase"
             t = Trial("exact", knobs,
                       score_full(run_exact_on, q_m_slices, q_m_run),
                       cost=float(n) / (1 if tier is None

@@ -1075,7 +1075,8 @@ def search_packed_fused_sharded(
 
 
 def search_exact_sharded(points, queries, k: int, *, mesh: Mesh,
-                         block: int = 1024, scale=None):
+                         block: int = 1024, scale=None,
+                         matmul_precision: str = "highest"):
     """Distributed exact kNN: per-shard exact search + all_gather merge.
     Equals global brute force exactly (each shard's local top-k contains
     every true global top-k member residing on that shard).  Per-shard
@@ -1124,8 +1125,11 @@ def search_exact_sharded(points, queries, k: int, *, mesh: Mesh,
     def go(pts_l, y, sc_l):
         if use_pallas:
             p_in = pts_l if stored_width else pts_l.astype(jnp.float32)
+            # matmul_precision reaches each shard's kernel ("split3" is
+            # the recommended recall-1.0 speed tier, BASELINE.md round 4)
             ids_l, dd = exact_knn_pallas(p_in, y, kk,
-                                         scale=sc_l if quant else None)
+                                         scale=sc_l if quant else None,
+                                         matmul_precision=matmul_precision)
         elif quant:
             # CPU oracle on the identical quantized grid (same ranking as
             # the kernel's int32 quantized-domain arithmetic)
