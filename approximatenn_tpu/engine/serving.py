@@ -194,14 +194,23 @@ class Server:
             # large-corpus exact serving rides the two-phase engine
             # (emit + DMA rescan — measured 1.09-1.30x the rank kernel
             # at 10M, id-identical); stage its lane-padded rescan buffer
-            # once (+d_pad/d x corpus bytes; skip if HBM can't take it)
+            # once.  A non-128-multiple d costs a d_pad/d corpus copy:
+            # capped at 4 GiB so the engine never claims a third of HBM
+            # for a ~1.1x f32 win (10M x 96 f32 = 5.12 GB stays on the
+            # rank kernel — measured OOM next to a packed hash view; the
+            # bf16/int8 tiers, where two-phase wins 1.26-1.30x, stage
+            # 2.56/1.28 GB and qualify, as does 32M int8 at 4.1 GB)
             from ..ops.pallas_exact import stage_rescan_corpus
 
-            try:
-                srv._rescan = stage_rescan_corpus(srv.points)
-                srv._twophase = True
-            except Exception:
-                srv._twophase = False
+            d_pad = -(-points.shape[1] // 128) * 128
+            staged = (0 if d_pad == points.shape[1]
+                      else n * d_pad * jnp.dtype(points.dtype).itemsize)
+            if staged <= (4 << 30):
+                try:
+                    srv._rescan = stage_rescan_corpus(srv.points)
+                    srv._twophase = True
+                except Exception:
+                    srv._twophase = False
         if mode == "hash":
             from .build import build
 

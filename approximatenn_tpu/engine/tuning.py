@@ -198,6 +198,13 @@ def tune(
 
     The winner is the max-QPS (measured) or min-cost (proxy) trial with
     recall >= target; if none qualifies, the max-recall trial.
+
+    HBM budget note: every ``exact_tiers`` entry holds its own corpus
+    copy (plus the two-phase engine's lane-padded rescan staging at
+    n >= 2M) for the whole tune, NEXT TO the hash index + packed view.
+    At 10M x 96 that sums past one chip (measured OOM with int8 next to
+    the tries=4 packed view); trial big-n tiers one at a time, or tune
+    tiers on a subsample.
     """
     from ..ops.pallas_exact import exact_search
     from .build import build

@@ -207,8 +207,9 @@ def build_sharded(
       10M through serve-time supercharge).  "hash" is the reference's
       multiprobe approximation; "auto" = exact when n_local <= 16M and
       k <= 128 (the single-chip policy applied at shard granularity).
-    - ``graph_precision``: "highest" (true f32 edge ranking) | "default"
-      (bf16-factor, ~2x faster kernel) — exact mode only.
+    - ``graph_precision``: "highest" (true f32 edge ranking) |
+      "split3" (3-pass split-factor tier, 1.53x faster at near-f64
+      fidelity) | "default" (bf16-factor, ~2x) — exact mode only.
     - ``metric``: 'l2' | 'angular' (one row normalization up front; the
       normalized sharded corpus is stored on the index by default).
     - ``n_probes``: directed probing for the hash-graph build.

@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--measure-all", action="store_true")
     ap.add_argument("--packed-dtype", default="int8",
                     choices=["int8", "bfloat16", "float32"])
+    ap.add_argument("--exact-tiers", nargs="+", default=["f32"],
+                    help="exact-engine storage tiers to trial (f32/bf16/"
+                         "int8); HBM budget: each tier holds its corpus "
+                         "copy (+ rescan staging) for the whole tune")
+    ap.add_argument("--window-grid", type=int, nargs="+", default=[8, 32])
     args = ap.parse_args()
 
     import jax
@@ -57,8 +62,10 @@ def main():
     rep = ann.tune(
         X, args.k, queries=Y, target_recall=args.target,
         tries=args.tries, capacity=args.capacity,
-        probe_grid=(None, 18, 48), window_grid=(8, 32),
+        probe_grid=(None, 18, 48), window_grid=tuple(args.window_grid),
         rerank_grid=(None, 50), packed_dtype=pdt,
+        exact_tiers=tuple(None if t == "f32" else t
+                          for t in args.exact_tiers),
         measure_all=args.measure_all, verbose=True,
     )
     print(json.dumps({"stage": "tune",
