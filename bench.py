@@ -13,8 +13,9 @@ linking the unmodified reference ``precomp_cpu``/``query_cpu``; the
 reference itself publishes no numbers, see BASELINE.md).  ``vs_baseline``
 is our QPS / reference-CPU QPS at the identical config.
 
-Run with no arguments on the TPU host.  ``--full`` adds build timing and a
-recall column.
+Run with no arguments on the TPU host; build timing, recall, the exact
+tiers (incl. the 1M bf16/split3 stats) and the measurement protocol are
+all part of the one JSON line.
 """
 
 from __future__ import annotations
