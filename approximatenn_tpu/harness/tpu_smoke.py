@@ -112,6 +112,54 @@ def main(argv=None) -> int:
     except Exception as e:
         gate("exact_twophase", False, error=repr(e)[:300])
 
+    # --- two-phase at moderate k (round-5; the round-4 advisor's
+    # VMEM-scaling class: a fixed seg=512 rescan failed Mosaic compile
+    # past k ~ 22 — the auto-fit must keep this compiling) -------------
+    try:
+        t0 = time.perf_counter()
+        t64, _ = brute_force_knn(X, Y[:100], 64)
+        ids_t, _ = exact_knn_twophase(X, Y[:100], 64)
+        fence([ids_t])
+        rec = recall_at_k(np.asarray(t64), np.asarray(ids_t), 64)
+        gate("exact_twophase_k64", rec >= 1.0, recall=round(rec, 5),
+             secs=round(time.perf_counter() - t0, 2))
+    except Exception as e:
+        gate("exact_twophase_k64", False, error=repr(e)[:300])
+
+    # --- k > 128 exact envelope (round-5: emit-all rescan + XLA top-k) -
+    try:
+        from ..ops.pallas_exact import exact_search
+
+        t0 = time.perf_counter()
+        t256, _ = brute_force_knn(X, Y[:100], 256)
+        ids_g, _ = exact_search(X, Y[:100], 256)
+        fence([ids_g])
+        rec = recall_at_k(np.asarray(t256), np.asarray(ids_g), 256)
+        gate("exact_bigk_256", rec >= 1.0, recall=round(rec, 5),
+             secs=round(time.perf_counter() - t0, 2))
+    except Exception as e:
+        gate("exact_bigk_256", False, error=repr(e)[:300])
+
+    # --- Server two-phase route on a lane-padded corpus (round-5: the
+    # d % 128 != 0 production path — ONE padded buffer serves emit AND
+    # rescan; routing must report and run twophase) ---------------------
+    try:
+        from ..engine.serving import Server
+
+        t0 = time.perf_counter()
+        X96 = X[:, :96]
+        srv = Server.build(X96, k, mode="exact", twophase_min_n=10_000)
+        eng = srv.describe()["exact_engine"]
+        ids_s, _ = srv.search(Y[:200, :96])
+        fence([ids_s])
+        t96, _ = brute_force_knn(X96, Y[:200, :96], k)
+        rec = recall_at_k(np.asarray(t96), np.asarray(ids_s), k)
+        gate("server_twophase_padded", rec >= 1.0 and eng == "twophase",
+             recall=round(rec, 5), engine=eng,
+             secs=round(time.perf_counter() - t0, 2))
+    except Exception as e:
+        gate("server_twophase_padded", False, error=repr(e)[:300])
+
     # --- fused probe kernel near the Mosaic envelope -------------------
     # window=256 / P=48 / rerank=50 / bq=32 is the measured compile
     # boundary (BASELINE.md 1M high-recall section: rerank=100 at this

@@ -87,6 +87,52 @@ def _dist_dot(tile_pts, qb, dims, precision):
     )
 
 
+def _auto_tile(n: int, d: int, itemsize: int) -> int:
+    """The auto corpus-tile policy (factored so :func:`exact_knn_twophase`
+    can derive the same tile the emit kernel will use and keep its segment
+    grid consistent with it).  Measured rationale inline at the call site
+    in :func:`exact_knn_pallas`."""
+    tile = max(512, min(4096, (4 << 20) // (4 * max(d, 64))))
+    if n >= (1 << 19) and d <= 128:
+        tile = 8192 if itemsize == 4 else 16384
+    return min(tile, max(8, n))
+
+
+def _twophase_tile(tile: int) -> int:
+    """Two-phase emit tiles are floored to a power of two: the segment
+    grid must divide the tile exactly (the (n_seg, seg, bq) view is a
+    reshape — a non-divisible tile, e.g. tile = n = 3001 at small odd n,
+    cannot split), and power-of-2 tiles make every power-of-2 seg <=
+    tile/8 divide cleanly.  The dropped tail rows just become one more
+    (padded) grid step."""
+    return max(8, 1 << (tile.bit_length() - 1))
+
+
+def _effective_twophase_seg(tile: int, seg: int) -> int:
+    """Largest segment length <= ``seg`` that divides ``tile`` with an
+    8-multiple segment count (the emit kernel's (n_seg, bq) output block
+    needs 8-sublane rows).  ONE definition shared by the emit path and
+    :func:`exact_knn_twophase` so the selected segment ids always index
+    the grid the emit kernel actually used."""
+    while seg > 8 and (tile % seg or (tile // seg) % 8):
+        seg //= 2
+    return max(8, min(seg, max(8, tile // 8)))
+
+
+# Scoped-VMEM budget for the rescan kernel's (bq, P*seg, d) window scratch
+# (storage bytes + the f32 diff block).  The kernel's own vmem_limit adds
+# ~10 MB of headroom and clamps at 100 MB, so fits under this budget
+# always compile.
+_RESCAN_VMEM_BUDGET = 88 << 20
+
+# Max rescan windows per kernel launch (k > 128 chunks its k+pad windows
+# at this): bounds the unrolled DMA program at the scale the probe/rescan
+# kernels are proven to compile.  Tests shrink it (interpret tracing of a
+# 128-window unrolled wave is minutes on CPU; the chunk logic is what
+# needs covering).
+_RESCAN_MAX_P = 128
+
+
 def _pick_n_seg(tile: int) -> int:
     """Largest power-of-2 segment count <= 16 whose segments keep full
     8-sublane rows (segments split the OUTER tile axis of the transposed
@@ -724,7 +770,9 @@ def exact_knn_pallas(
     """
     n, d = points.shape
     m = queries.shape[0]
-    if k > 128:
+    if k > 128 and merge != "twophase":
+        # the twophase merge selects in XLA (lax.top_k past 128), not the
+        # unrolled in-kernel loop — it is how exact_search serves k > 128
         raise ValueError("exact_knn_pallas supports k <= 128 (unrolled selection)")
     f32 = jnp.float32
     quant = points.dtype == jnp.int8
@@ -768,17 +816,10 @@ def exact_knn_pallas(
         # (m=1000, n=200k, d=128): tile 4096/block 256 -> 6.2 ms, vs 41 ms
         # at tile 512 — 5.5x faster than the XLA-fused brute force.  At
         # n >= 512k the grid is step-count-bound, so the tile grows to
-        # 8192 (VMEM: dd block 256x8192 f32 = 8 MB, tiles 2x4 MB).
-        tile = max(512, min(4096, (4 << 20) // (4 * max(d, 64))))
-        if n >= (1 << 19) and d <= 128:
-            # step-count-bound regime (measured 1M sweep: bq 512/tile 8192
-            # = 20.5 ms vs 36 ms at tile 4096; 16k/32k f32 tiles regress —
-            # VMEM pressure); needs the raised vmem_limit_bytes below.
-            # Sub-4-byte storage halves/quarters the tile stream, so the
-            # step count binds sooner: 16384 measured 52.1 vs 64.0 ms for
-            # bf16 at 10M (scripts/exp_int8_tiles.py); int8 is flat
-            # between 8192 and 16384, and 16384 keeps its DDs in budget.
-            tile = 8192 if cdt.itemsize == 4 else 16384
+        # 8192 (VMEM: dd block 256x8192 f32 = 8 MB, tiles 2x4 MB); see
+        # _auto_tile.  Sub-4-byte storage halves/quarters the tile
+        # stream, so the step count binds sooner: 16384 measured 52.1 vs
+        # 64.0 ms for bf16 at 10M (scripts/exp_int8_tiles.py).
         # NEGATIVE RESULT (round 3): snapping the auto tile to a nearby
         # divisor of n — so has_pad=False drops the per-step padding-row
         # select — measured 12% SLOWER at 10M x 96 bf16 (tile 16000:
@@ -786,6 +827,7 @@ def exact_knn_pallas(
         # cost Mosaic more than the saved (tile, bq) select sweep; tiles
         # stay power-of-2 and has_pad stays data-driven (free whenever
         # the tile happens to divide n, e.g. n = 2^20).
+        tile = _auto_tile(n, d, cdt.itemsize)
     if query_block is None:
         # the rank merge's VMEM appetite (~10 tile-sized stack blocks at a
         # generous budget) caps tile*bq near 2M f32 elements; bq=256 at
@@ -954,10 +996,9 @@ def exact_knn_pallas(
         # EXPERIMENTAL (round-4 item 4): emit per-segment minima only,
         # merge in XLA.  See _kernel_emit for the fidelity caveat; A/B
         # in scripts/exp_twophase.py.
-        seg = twophase_seg
-        while seg > 8 and (tile % seg or (tile // seg) % 8):
-            seg //= 2
-        seg = max(8, min(seg, tile // 8))
+        tile = _twophase_tile(tile)
+        n_tiles = math.ceil(n / tile)
+        seg = _effective_twophase_seg(tile, twophase_seg)
         n_seg2 = tile // seg
         kernel = functools.partial(
             _kernel_emit, n=n, tile=tile, seg=seg, has_excl=has_excl,
@@ -1100,16 +1141,26 @@ def exact_knn_pallas(
     return ids, dd
 
 
-def _kernel_rescan(q_ref, ss_ref, sv_ref, pts_hbm, out_i_ref, out_d_ref,
-                   win, sems, *, k: int, n: int, seg: int, P: int,
-                   bq: int, P_wave: int, align: int):
+def _kernel_rescan(q_ref, ss_ref, sv_ref, so_ref, pts_hbm, out_i_ref,
+                   out_d_ref, win, sems, *, k: int, n: int, seg: int,
+                   P: int, bq: int, P_wave: int, align: int,
+                   emit_all: bool):
     """Phase 3 of the exact two-phase engine: DMA each query's selected
     segments (P windows of ``seg`` rows) HBM->VMEM and select the final
     top-k on-chip.  The XLA-gather form of this phase measured ~70 ms at
     10M (6.1M rows through the gather wall, rule 9); window DMAs read
     the same rows at HBM speed.  Same wave-issued copy pattern, SMEM
     pre-divided offsets, and dedup-by-position selection as the probe
-    kernel (``ops/pallas_probe.py``)."""
+    kernel (``ops/pallas_probe.py``).
+
+    ``emit_all`` (the k > 128 envelope, round-5): skip the unrolled
+    in-kernel selection entirely — mask each window to its ORIGINAL
+    segment's row range (``so_ref``, raw starts; disjoint by
+    construction, so no position can appear twice) and emit the full
+    (bq, L) distance + position blocks to HBM for an XLA ``lax.top_k``.
+    The unrolled k-round loop would not compile past ~128 rounds and
+    its VMEM selection state scales with k; the emit form is
+    k-independent."""
     def copy(qq, p, p0):
         s = ss_ref[qq, p] * align
         return pltpu.make_async_copy(
@@ -1145,8 +1196,24 @@ def _kernel_rescan(q_ref, ss_ref, sv_ref, pts_hbm, out_i_ref, out_d_ref,
             sv[:, p:p + 1] + (j - p * seg),
             pos,
         )
-    dd = jnp.where(pos < n, dd, jnp.inf)
 
+    if emit_all:
+        # mask to the ORIGINAL segment ranges (disjoint, so the emitted
+        # positions are duplicate-free and the XLA selection needs no
+        # dedup; exhausted windows carry so = n and mask out entirely)
+        so = so_ref[:]  # (bq, P) raw original starts
+        valid = jnp.zeros((bq, L), jnp.bool_)
+        for p in range(P):
+            in_w = (j >= p * seg) & (j < (p + 1) * seg)
+            valid = valid | (
+                in_w & (pos >= so[:, p:p + 1])
+                & (pos < so[:, p:p + 1] + seg)
+            )
+        out_d_ref[:] = jnp.where(valid & (pos < n), dd, jnp.inf)
+        out_i_ref[:] = pos
+        return
+
+    dd = jnp.where(pos < n, dd, jnp.inf)
     big = jnp.iinfo(jnp.int32).max
     d_, p_ = dd, pos
     outs_d, outs_p = [], []
@@ -1163,17 +1230,24 @@ def _kernel_rescan(q_ref, ss_ref, sv_ref, pts_hbm, out_i_ref, out_d_ref,
 
 
 def _rescan_pallas(points, queries, seg_starts, k: int, *, seg: int,
-                   interpret: bool):
+                   interpret: bool, orig_starts=None):
     """Run :func:`_kernel_rescan` over per-query align-clamped segment
     starts (``seg_starts`` (m, P) int32, already align-divisible and in
     [0, n_floor - seg]).  Returns (ids (m, k), dists (m, k)) ascending,
-    sentinel n."""
+    sentinel n.
+
+    With ``orig_starts`` ((m, P) int32 raw original segment starts, n for
+    exhausted windows) the kernel runs in emit-all mode instead: returns
+    (positions (m, L), distances (m, L)) with every lane outside its
+    original segment masked to +inf — the k-independent form the k > 128
+    path selects from in XLA."""
     n, d = points.shape
     m, P = seg_starts.shape
+    emit_all = orig_starts is not None
     csize = jnp.dtype(points.dtype).itemsize
     align = {4: 8, 2: 16, 1: 32}[csize]
     bq = 16
-    while bq > 8 and P * seg * d * (csize + 4) * bq > (80 << 20):
+    while bq > 8 and P * seg * d * (csize + 4) * bq > _RESCAN_VMEM_BUDGET:
         bq //= 2
     P_wave = max(1, 384 // bq)
     nq_blocks = math.ceil(m / bq)
@@ -1181,13 +1255,19 @@ def _rescan_pallas(points, queries, seg_starts, k: int, *, seg: int,
     if mp != m:
         queries = jnp.pad(queries, [(0, mp - m), (0, 0)])
         seg_starts = jnp.pad(seg_starts, [(0, mp - m), (0, 0)])
+        if emit_all:
+            # padded query rows must emit nothing: pad with start n
+            orig_starts = jnp.pad(orig_starts, [(0, mp - m), (0, 0)],
+                                  constant_values=n)
     ss = seg_starts // align
+    so = ss if not emit_all else orig_starts
     L = P * seg
     qdt = jnp.float32 if points.dtype == jnp.int8 else points.dtype
     kernel = functools.partial(
         _kernel_rescan, k=k, n=n, seg=seg, P=P, bq=bq, P_wave=P_wave,
-        align=align,
+        align=align, emit_all=emit_all,
     )
+    k_out = L if emit_all else k
     out_i, out_d = pl.pallas_call(
         kernel,
         grid=(nq_blocks,),
@@ -1198,17 +1278,19 @@ def _rescan_pallas(points, queries, seg_starts, k: int, *, seg: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((bq, P), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, P), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # corpus stays in HBM
         ],
         out_specs=[
-            pl.BlockSpec((bq, k), lambda i: (i, 0),
+            pl.BlockSpec((bq, k_out), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bq, k), lambda i: (i, 0),
+            pl.BlockSpec((bq, k_out), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((mp, k), jnp.int32),
-            jax.ShapeDtypeStruct((mp, k), jnp.float32),
+            jax.ShapeDtypeStruct((mp, k_out), jnp.int32),
+            jax.ShapeDtypeStruct((mp, k_out), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, L, d), points.dtype),
@@ -1221,7 +1303,7 @@ def _rescan_pallas(points, queries, seg_starts, k: int, *, seg: int,
             ),
         ),
         interpret=interpret,
-    )(queries.astype(qdt), ss, ss, points)
+    )(queries.astype(qdt), ss, ss, so, points)
     return out_i[:m], out_d[:m]
 
 
@@ -1244,7 +1326,7 @@ def stage_rescan_corpus(points):
     static_argnames=("k", "seg", "pad_segments", "interpret", "rescan",
                      "matmul_precision"),
 )
-def exact_knn_twophase(points, queries, k: int, *, seg: int = 512,
+def exact_knn_twophase(points, queries, k: int, *, seg: int | None = None,
                        pad_segments: int = 2, scale=None,
                        interpret: bool = False, rescan: str = "dma",
                        rescan_corpus=None,
@@ -1266,7 +1348,24 @@ def exact_knn_twophase(points, queries, k: int, *, seg: int = 512,
     top-(k + pad_segments) segments (padding absorbs distance ties)
     therefore covers every true top-k member — the result equals the
     exhaustive kernel's id set (A/B-gated at 10M,
-    scripts/exp_twophase.py).
+    scripts/exp_twophase.py).  The argument holds for ANY segment
+    length, which is what makes the auto-fit below safe.
+
+    ``seg=None`` (default) starts from 512 and shrinks so the rescan
+    kernel's (bq, (k + pad_segments) * seg, d) VMEM window fits the
+    scoped budget at the minimum query block — the scratch scales with
+    k, and a fixed seg=512 failed Mosaic compile past k ~ 22 (round-4
+    advisor finding).  An explicit ``seg`` is treated as an upper
+    bound (same shrink rules).  If no aligned segment fits, the rescan
+    falls back to the XLA-gather form (correct, slower).
+
+    k > 128 (round-5, VERDICT item 5): phases 1-2 are k-independent
+    (phase-2 selection rides ``lax.top_k`` past 128); phase 3 switches
+    to emit-all windows — at most 128 per kernel launch — whose
+    disjoint original-segment masking makes positions unique, and the
+    final top-k runs in XLA over the (m, P*seg) rescanned pool.  Same
+    exactness argument; measured ~10-30x the old ``lax.top_k``-over-n
+    fallback (BASELINE.md round 5).
     """
     from .distance import blocked_over_rows, candidate_dists
     from .topk import merge_topk, topk_no_dedup
@@ -1278,12 +1377,43 @@ def exact_knn_twophase(points, queries, k: int, *, seg: int = 512,
     align = {4: 8, 2: 16, 1: 32}[csize]
     if rescan not in ("dma", "xla"):
         raise ValueError(f"rescan must be 'dma' or 'xla', got {rescan!r}")
-    if seg % align:
+    if seg is not None and seg % align:
         raise ValueError(f"seg={seg} must be a multiple of {align} "
                          f"(DMA row alignment for this dtype)")
+    if rescan_corpus is not None:
+        d_res = rescan_corpus.shape[1]
+    else:
+        d_res = d if (d % 128 == 0 or interpret) else -(-d // 128) * 128
+    # the effective segment: divides the emit tile (one shared
+    # definition, _effective_twophase_seg), and the rescan window at the
+    # minimum query block fits the scoped-VMEM budget (shrinking seg
+    # preserves exactness; P is chunked at 128 windows per launch for
+    # k > 128, so the fit uses the per-launch window count)
+    if seg is None:
+        # auto segment length ~ sqrt(n)/8, measured round-5 sweep
+        # (/tmp/r5_tpcost*.log, 2026-08-21): the rescan cost grows with
+        # seg (bytes per window) while phase 2's top-k grows with n/seg
+        # (candidates), so the optimum scales as ~sqrt(n) — measured
+        # best 64 at 250-500k, 128 at 1M (bf16 4.77 ms vs seg-512's
+        # 6.90 — the round-4 fixed seg left a 1.4x win on the table),
+        # 256 at 2M, 512 at 10M.  This is what pulled the two-phase
+        # crossover from 2M down to ~500k (TWOPHASE_MIN_N).
+        seg = min(512, max(32, 1 << (math.isqrt(n) // 8).bit_length()))
+        seg = max(seg, align)
+    tile = _twophase_tile(_auto_tile(n, d, 4 if csize == 8 else csize))
+    seg_eff = _effective_twophase_seg(tile, seg)
+    P_fit = min(P, _RESCAN_MAX_P)
+    while (seg_eff > align
+           and 8 * P_fit * seg_eff * d_res * (csize + 4)
+           > _RESCAN_VMEM_BUDGET):
+        seg_eff //= 2
+    fits = (seg_eff % align == 0 and tile % seg_eff == 0
+            and 8 * P_fit * seg_eff * d_res * (csize + 4)
+            <= _RESCAN_VMEM_BUDGET)
+    seg = seg_eff
     sel_ids, _ = exact_knn_pallas(
         points, queries, P, scale=scale, merge="twophase",
-        twophase_seg=seg, interpret=interpret,
+        twophase_seg=seg, tile=tile, interpret=interpret,
         matmul_precision=matmul_precision,
     )
     # winner ids -> their (globally contiguous) segment indices; one
@@ -1296,7 +1426,7 @@ def exact_knn_twophase(points, queries, k: int, *, seg: int = 512,
         qf = jnp.clip(jnp.round(qf / scale), -127, 127)
 
     n_floor = (n // align) * align
-    if rescan == "dma" and n_floor >= seg:
+    if rescan == "dma" and n_floor >= seg and fits:
         if rescan_corpus is None:
             rescan_corpus = points if (d % 128 == 0 or interpret) \
                 else stage_rescan_corpus(points)
@@ -1309,9 +1439,29 @@ def exact_knn_twophase(points, queries, k: int, *, seg: int = 512,
         # [n_floor, n) — at most align-1 of them — are outside every
         # clampable window and merge in via one tiny XLA pass.
         s_eff = jnp.clip(seg_ids * seg, 0, n_floor - seg).astype(jnp.int32)
-        ids_r, dd_r = _rescan_pallas(
-            rescan_corpus, qr, s_eff, k, seg=seg, interpret=interpret,
-        )
+        if k <= 128:
+            ids_r, dd_r = _rescan_pallas(
+                rescan_corpus, qr, s_eff, k, seg=seg, interpret=interpret,
+            )
+        else:
+            # emit-all windows, <= 128 per launch; exhausted windows get
+            # original start n so they mask out entirely (a sentinel
+            # mapped onto the last segment must not duplicate it)
+            s_orig = jnp.where(
+                exhausted, n, seg_ids * seg
+            ).astype(jnp.int32)
+            parts_p, parts_d = [], []
+            for c0 in range(0, P, _RESCAN_MAX_P):
+                c1 = min(c0 + _RESCAN_MAX_P, P)
+                pos_c, dd_c = _rescan_pallas(
+                    rescan_corpus, qr, s_eff[:, c0:c1], k, seg=seg,
+                    interpret=interpret, orig_starts=s_orig[:, c0:c1],
+                )
+                parts_p.append(pos_c)
+                parts_d.append(dd_c)
+            dd_all = jnp.concatenate(parts_d, axis=-1)
+            pos_all = jnp.concatenate(parts_p, axis=-1)
+            ids_r, dd_r = topk_no_dedup(dd_all, pos_all, k)
         ids_r = ids_r.astype(itype)
         if n_floor < n:
             tail = jnp.arange(n_floor, n, dtype=itype)
@@ -1443,21 +1593,51 @@ def exact_search(points, queries, k: int, **kw):
     the quantized-domain kernel up to ties — both rank the identical
     quantized values).
 
-    **Supported k envelope** (measured 1M x 128, m=1000, round 4,
-    /tmp/r4_largek.log): the fused kernel serves k <= 128 — 26.2k QPS at
-    k=100, 21.1k at k=128.  Past 128 this function silently degrades to
-    the XLA brute-force path (lax.top_k sorting networks): 1.3k QPS at
-    k=256, 0.7-1.1k at k=512-1000 — correct but ~20-30x slower; treat
-    k > 128 as an offline/batch capability, not a serving tier."""
+    **Supported k envelope**: the fused kernel serves k <= 128 (measured
+    1M x 128, m=1000: 26.2k QPS at k=100, 21.1k at k=128 —
+    /tmp/r4_largek.log).  Past 128 the call routes the two-phase engine
+    (:func:`exact_knn_twophase` — k-independent emit + emit-all rescan,
+    round 5), replacing the old ``lax.top_k``-over-n fallback that
+    served 0.7-1.3k QPS at k=256-1000; unsupported kwarg combinations
+    or tiny n still fall back to the XLA brute-force path."""
     points = jnp.asarray(points)
-    if _platform_of(points) in ("tpu", "axon") and k <= 128:
+    if _platform_of(points) in ("tpu", "axon"):
         # a bf16/f16/int8 corpus is streamed at storage width (see
         # exact_knn_pallas); everything else runs in f32
-        if points.dtype not in (jnp.bfloat16, jnp.float16, jnp.int8):
-            points = jnp.asarray(points, jnp.float32)
-        return exact_knn_pallas(
-            points, jnp.asarray(queries, jnp.float32), k, **kw,
-        )
+        pk = points
+        if pk.dtype not in (jnp.bfloat16, jnp.float16, jnp.int8):
+            pk = jnp.asarray(pk, jnp.float32)
+        tp_kw = {"scale", "interpret", "matmul_precision", "seg",
+                 "pad_segments", "rescan", "rescan_corpus"}
+        if k <= 128:
+            from ..engine.serving import TWOPHASE_MIN_N
+
+            if (pk.shape[0] >= TWOPHASE_MIN_N and k + 2 <= 128
+                    and set(kw) <= tp_kw
+                    and not kw.pop("no_twophase", False)):
+                # above the measured crossover the two-phase engine wins
+                # 1.05-1.44x per tier (round-5 auto-seg, BASELINE.md);
+                # id-agreement 1.0.  Callers pinning rank-kernel knobs
+                # (tile, merge, ...) keep the rank kernel.  NOTE: a
+                # d % 128 != 0 corpus pays a per-call lane pad here —
+                # repeated serving should go through Server, which
+                # stages the padded corpus once.
+                return exact_knn_twophase(
+                    pk, jnp.asarray(queries, jnp.float32), k, **kw,
+                )
+            kw.pop("no_twophase", None)
+            for kw_tp in ("seg", "pad_segments", "rescan",
+                          "rescan_corpus"):
+                kw.pop(kw_tp, None)
+            return exact_knn_pallas(
+                pk, jnp.asarray(queries, jnp.float32), k, **kw,
+            )
+        if (k < pk.shape[0] and pk.shape[0] >= 8 * (k + 2)
+                and set(kw) <= tp_kw):
+            return exact_knn_twophase(
+                pk, jnp.asarray(queries, jnp.float32), k, **kw,
+            )
+        # k > 128 with kernel-only kwargs or k ~ n: XLA brute force below
     from .distance import brute_force_knn
 
     scale = kw.pop("scale", None)

@@ -144,6 +144,43 @@ class TestExactKNNPallas:
         )
         assert (np.diff(np.asarray(da), axis=1) >= -1e-5).all()
 
+    @pytest.mark.slow
+    def test_twophase_bigk_matches_oracle(self, rng, monkeypatch):
+        """k > 128 rides the emit-all rescan (round-5, VERDICT item 5):
+        phase-2 selection and the final top-k run in XLA (lax.top_k past
+        128), positions made unique by disjoint original-segment
+        masking.  Id sets equal brute force, including an odd n with
+        clamped windows + tail merge and multi-launch window chunking.
+        The per-launch window cap is shrunk so interpret-mode tracing of
+        the unrolled DMA waves stays fast (the production 128-window
+        launch compiles on real TPU — the ``exact_bigk_256`` smoke
+        gate)."""
+        import approximatenn_tpu.ops.pallas_exact as px
+
+        monkeypatch.setattr(px, "_RESCAN_MAX_P", 16)
+        n, d, m, k, seg = 3001, 17, 9, 150, 16
+        X = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+        Y = jnp.asarray(rng.standard_normal((m, d)).astype(np.float32))
+        ia, da = px.exact_knn_twophase(X, Y, k, seg=seg, interpret=True)
+        ib, _ = brute_force_knn(X, Y, k)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(ia), 1), np.sort(np.asarray(ib), 1)
+        )
+        assert (np.diff(np.asarray(da), axis=1) >= -1e-5).all()
+
+    def test_exact_search_routes_bigk_interpretable(self, rng):
+        """exact_search documents the k > 128 envelope; off-TPU it stays
+        on the XLA oracle (identical results either way)."""
+        from approximatenn_tpu.ops.pallas_exact import exact_search
+
+        X = jnp.asarray(rng.standard_normal((2000, 12)).astype(np.float32))
+        Y = jnp.asarray(rng.standard_normal((7, 12)).astype(np.float32))
+        ia, _ = exact_search(X, Y, 140)
+        ib, _ = brute_force_knn(X, Y, 140)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(ia), 1), np.sort(np.asarray(ib), 1)
+        )
+
     def test_rejects_unknown_precision(self, rng):
         p = jnp.asarray(rng.standard_normal((64, 8)).astype(np.float32))
         with pytest.raises(ValueError, match="matmul_precision"):
