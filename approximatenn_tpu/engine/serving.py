@@ -41,18 +41,20 @@ EXACT_MAX_N_DEFAULT = 8_000_000
 
 # At and above this corpus size the exact mode serves through the
 # two-phase engine (emit per-segment minima + top-segment DMA rescan,
-# ops/pallas_exact.exact_knn_twophase): measured at 10M — bf16 34.8 ms vs
-# the rank kernel's 45.1, int8 33.6 vs 42.2, f32-split3 66.1 vs 75.6, all
-# at id-agreement 1.0 — while at 1M the fixed rescan cost loses at every
-# tier (7.1 vs 6.6 bf16).  Crossover measured between 1M and 2M (bf16:
-# two-phase wins 1.15x at 2M, 1.31x at 4M; loses 0.93x at 1M —
-# /tmp/r4_crossover.log), so 2M is the routing point.
+# ops/pallas_exact.exact_knn_twophase).  Round-4 measured the crossover
+# at 2M with a FIXED seg=512; the round-5 sqrt-scaled auto segment
+# (seg ~ sqrt(n)/8, /tmp/r5_tpcost*.log 2026-08-21) moved it: two-phase
+# wins 1.40x at 1M bf16 (4.77 vs 6.69 ms), 1.10x at 1M f32-split3,
+# 1.05-1.08x at 500k, and parity-to-1.08x at 250k — so the route opens
+# at 500k.  At 10M (served from the ONE lane-padded corpus) the win is
+# 1.42x bf16 (25.8 vs 36.5 ms) and 1.44x f32-split3 through Server
+# (52.6 ms / 19.0k QPS — the round-5 servable frontier).
 # At 32M the verdict is DATA-dependent: two-phase is constant-cost
 # (99.5 ms int8) while the rank kernel swings 79-119 ms with how often
 # its merge fires (queries-near-points vs iid).  Two-phase stays the
 # route (worst-case-optimal, jitter-free); workloads living in the
 # clustered best case pass no_twophase=True per call.
-TWOPHASE_MIN_N = 2_000_000
+TWOPHASE_MIN_N = 500_000
 
 # Packed-serving engine routing: at and above this many queries per call
 # the fused probe-window Pallas kernel wins at 1M points (measured 1.6-
@@ -82,16 +84,32 @@ def fused_min_batch(n: int) -> int:
     return (FUSED_MIN_BATCH * 1_000_000) // n
 
 
-def packed_route(n: int, batch: int, on_accelerator: bool) -> str:
+def packed_route(n: int, batch: int, on_accelerator: bool,
+                 min_batch: int | None = None) -> str:
     """The engine a plain packed `Server.search` call routes to —
     "fused" or "xla" — for an n-point view serving `batch` queries.
     ONE definition shared by the router and by the tuner's recorded
     trial labels (engine/tuning.py), so the label in a TuneReport can
     never diverge from what actually ran.  (Explicit pins — fused-only
     kwargs, interpret=True, xla-only kwargs — override this default in
-    Server.search.)"""
-    return ("fused" if on_accelerator and batch >= fused_min_batch(n)
-            else "xla")
+    Server.search.)  ``min_batch`` overrides the measured
+    ``fused_min_batch(n)`` threshold (Server's injectable routing knob,
+    round-5 — makes the route testable at small n)."""
+    thr = fused_min_batch(n) if min_batch is None else min_batch
+    return "fused" if on_accelerator and batch >= thr else "xla"
+
+
+# keyword arguments exact_knn_twophase accepts; anything else pinned on
+# the server or passed per call (tile, query_block, stream, merge,
+# compute_dtype, ...) is a rank-kernel knob and pins the rank path —
+# forwarding it to the two-phase engine would TypeError (round-4 advisor)
+_TWOPHASE_KW = frozenset(
+    {"seg", "pad_segments", "scale", "interpret", "rescan",
+     "matmul_precision"}
+)
+# two-phase-only knobs stripped before a rank-path dispatch (a caller may
+# pass them alongside no_twophase, or routing may decline the engine)
+_TWOPHASE_ONLY_KW = ("seg", "pad_segments", "rescan")
 
 
 @dataclass
@@ -115,10 +133,21 @@ class Server:
     packed: Any = None  # PackedIndex when layout == "packed"
     n_probes: int | None = None
     _search_kw: dict = field(default_factory=dict)
-    # staged lane-padded corpus for the two-phase exact engine's DMA
-    # rescan (None = serve through the rank kernel / d already 128-mult)
+    # the two-phase exact engine's rescan corpus.  Round-5: when d is not
+    # a 128-multiple this IS ``points`` — the corpus is stored
+    # lane-padded ONCE (zero lanes add 0 to every norm and dot, so both
+    # the emit stream and the rank fallback are distance-identical) —
+    # instead of corpus + a duplicate padded copy.  33% extra HBM at
+    # d=96 rather than 133%, which is what makes the 10M x 96 f32
+    # frontier servable through Server (round-4 VERDICT item 2).
     _rescan: Any = None
     _twophase: bool = False
+    # logical feature dim (points.shape[1] may be lane-padded); 0 = no pad
+    d_logical: int = 0
+    # injectable routing thresholds (round-4 VERDICT item 3: the router
+    # must be testable); None = the measured module-level defaults
+    _twophase_min_n: int | None = None
+    _fused_min_batch: int | None = None
 
     @classmethod
     def build(
@@ -134,6 +163,9 @@ class Server:
         n_probes: int | None = None,
         storage_dtype=None,
         packed_dtype=None,
+        twophase_min_n: int | None = None,
+        twophase_pad_budget_bytes: int = 12 << 30,
+        fused_min_batch: int | None = None,
         **build_kw,
     ) -> "Server":
         """``storage_dtype=jnp.bfloat16`` stores the corpus at half width:
@@ -170,8 +202,13 @@ class Server:
                 exact_max_n *= 2  # int8: 4x the f32 bound in total
         if mode == "auto":
             # a quantized corpus has no hash path (the build needs floats):
-            # auto always resolves it to exact rather than erroring
-            mode = ("exact" if quantized or (n <= exact_max_n and k <= 128)
+            # auto always resolves it to exact rather than erroring.
+            # k > 128 also resolves exact when the two-phase big-k
+            # envelope applies (round 5 — emit-all rescan; the hash
+            # path's k-width graph build is the worse large-k engine)
+            mode = ("exact" if quantized
+                    or (n <= exact_max_n
+                        and (k <= 128 or n >= 8 * (k + 2)))
                     else "hash")
         if mode not in ("exact", "hash"):
             raise ValueError(f"unknown mode {mode!r}")
@@ -182,32 +219,38 @@ class Server:
                 "or quantize via index.packed(dtype=jnp.int8) instead"
             )
         srv = cls(points=points, k=k, mode=mode, metric=metric,
-                  n_probes=n_probes)
+                  n_probes=n_probes, d_logical=int(points.shape[1]),
+                  _twophase_min_n=twophase_min_n,
+                  _fused_min_batch=fused_min_batch)
         if scale is not None:
             srv._search_kw["scale"] = scale
         if metric != "l2" and not quantized:
             from ..data.preprocess import prepare_points
 
             srv.points = prepare_points(points, metric)
-        if (mode == "exact" and n >= TWOPHASE_MIN_N and k + 2 <= 128
+        tp_min = TWOPHASE_MIN_N if twophase_min_n is None else twophase_min_n
+        if (mode == "exact" and n >= tp_min and k + 2 <= 128
                 and jnp.dtype(points.dtype).itemsize <= 4):
             # large-corpus exact serving rides the two-phase engine
             # (emit + DMA rescan — measured 1.09-1.30x the rank kernel
-            # at 10M, id-identical); stage its lane-padded rescan buffer
-            # once.  A non-128-multiple d costs a d_pad/d corpus copy:
-            # capped at 4 GiB so the engine never claims a third of HBM
-            # for a ~1.1x f32 win (10M x 96 f32 = 5.12 GB stays on the
-            # rank kernel — measured OOM next to a packed hash view; the
-            # bf16/int8 tiers, where two-phase wins 1.26-1.30x, stage
-            # 2.56/1.28 GB and qualify, as does 32M int8 at 4.1 GB)
+            # at 10M, id-identical).  A non-128-multiple d lane-pads the
+            # corpus ONCE and the padded buffer serves BOTH the emit
+            # stream and the rescan (zero lanes are distance-neutral),
+            # so there is no duplicate staging copy: 10M x 96 f32 costs
+            # 5.12 GB total instead of 3.84 + 4.77 — the published
+            # split3+two-phase 15.1k-QPS frontier is reachable through
+            # production routing (round-4 VERDICT item 2).  The budget
+            # below is an HBM sanity bound on the PADDED corpus, not a
+            # staging-copy cap.
             from ..ops.pallas_exact import stage_rescan_corpus
 
             d_pad = -(-points.shape[1] // 128) * 128
-            staged = (0 if d_pad == points.shape[1]
-                      else n * d_pad * jnp.dtype(points.dtype).itemsize)
-            if staged <= (4 << 30):
+            padded_bytes = n * d_pad * jnp.dtype(points.dtype).itemsize
+            if (d_pad == points.shape[1]  # no pad, no new memory at all
+                    or padded_bytes <= twophase_pad_budget_bytes):
                 try:
-                    srv._rescan = stage_rescan_corpus(srv.points)
+                    srv.points = stage_rescan_corpus(srv.points)
+                    srv._rescan = srv.points
                     srv._twophase = True
                 except Exception:
                     srv._twophase = False
@@ -224,6 +267,25 @@ class Server:
                 srv.packed = srv.index.packed(window=window,
                                               dtype=packed_dtype)
         return srv
+
+    def _route_twophase(self, k: int, no_twophase: bool = False,
+                        skw: dict | None = None) -> bool:
+        """Whether an exact-mode search with these knobs rides the
+        two-phase engine.  ONE predicate shared by ``search`` and
+        ``describe``/the tuner's trial labels, so the reported engine can
+        never diverge from what actually runs (round-4 advisor): staged at
+        build + k fits the rescan selection + not escaped + accelerator-
+        resident (or interpret=True, which runs the identical kernels off
+        TPU — how the CPU-mesh tests exercise every branch) + no
+        rank-kernel-only knobs pinned."""
+        skw = {} if skw is None else skw
+        if not (self._twophase and k + 2 <= 128 and not no_twophase):
+            return False
+        if not (set(skw) <= _TWOPHASE_KW):
+            return False
+        if skw.get("interpret"):
+            return True
+        return all(d_.platform != "cpu" for d_ in self.points.devices())
 
     def search(self, queries, k: int | None = None, **kw):
         """k approximate (hash) or exact nearest neighbors per query row.
@@ -243,19 +305,30 @@ class Server:
                 queries = prepare_points(
                     jnp.asarray(queries, qdt), self.metric
                 )
+            queries = jnp.asarray(queries)
+            qpad = self.points.shape[1] - queries.shape[1]
+            if qpad > 0:
+                # lane-padded corpus (see build): zero query lanes keep
+                # every distance identical on both exact engines
+                queries = jnp.pad(queries, [(0, 0), (0, qpad)])
             skw = {**self._search_kw, **kw}
-            if (self._twophase and k + 2 <= 128
-                    and not skw.pop("no_twophase", False)
-                    and all(d_.platform != "cpu"
-                            for d_ in self.points.devices())):
+            # pop UNCONDITIONALLY: the knob must not leak into either
+            # engine's kwargs whichever way routing goes (round-4 advisor)
+            no_tp = bool(skw.pop("no_twophase", False))
+            if self._route_twophase(k, no_tp, skw):
                 from ..ops.pallas_exact import exact_knn_twophase
 
                 skw.setdefault("scale", None)
                 return exact_knn_twophase(
-                    self.points, jnp.asarray(queries, jnp.float32), k,
+                    self.points, queries.astype(jnp.float32), k,
                     rescan_corpus=self._rescan, **skw,
                 )
-            return exact_search(self.points, queries, k, **skw)
+            for kw_tp in _TWOPHASE_ONLY_KW:
+                skw.pop(kw_tp, None)
+            # the Server made the routing decision — keep exact_search's
+            # own crossover route from re-making it
+            return exact_search(self.points, queries, k,
+                                no_twophase=True, **skw)
         kw = {**self._search_kw, **kw}  # pinned knobs (e.g. tuned rerank)
         kw.setdefault("n_probes", self.n_probes)
         if self.packed is not None:
@@ -282,7 +355,7 @@ class Server:
             use_fused = pin_fused or (
                 not xla_only
                 and packed_route(self.packed.n, queries.shape[0],
-                                 on_tpu) == "fused"
+                                 on_tpu, self._fused_min_batch) == "fused"
             )
             if use_fused:
                 from .search import search_packed_fused
@@ -304,7 +377,9 @@ class Server:
         d = {
             "mode": self.mode,
             "n": int(self.points.shape[0]),
-            "d": int(self.points.shape[1]),
+            # the LOGICAL feature dim (the stored corpus may be
+            # lane-padded for the two-phase rescan; see build)
+            "d": int(self.d_logical or self.points.shape[1]),
             "k": self.k,
             "metric": self.metric,
             # recall vs the TRUE neighbors: 1.0 only for full-precision
@@ -318,7 +393,12 @@ class Server:
             "storage_dtype": str(jnp.dtype(self.points.dtype)),
         }
         if self.mode == "exact":
-            d["exact_engine"] = "twophase" if self._twophase else "rank"
+            # the engine a plain search(queries) would ACTUALLY route to
+            # on the corpus's current placement (shared predicate — a
+            # CPU-resident 2M+ corpus correctly reports "rank")
+            d["exact_engine"] = ("twophase"
+                                 if self._route_twophase(self.k)
+                                 else "rank")
         if self.index is not None:
             d["layout"] = "packed" if self.packed is not None else "table"
             d["index_mb"] = round(

@@ -173,6 +173,7 @@ def tune(
     packed_dtype=None,
     measure: bool | None = None,
     measure_all: bool = False,
+    sequential_tiers: bool = False,
     seed: int = 0,
     verbose: bool = False,
     **build_kw,
@@ -199,12 +200,19 @@ def tune(
     The winner is the max-QPS (measured) or min-cost (proxy) trial with
     recall >= target; if none qualifies, the max-recall trial.
 
-    HBM budget note: every ``exact_tiers`` entry holds its own corpus
-    copy (plus the two-phase engine's lane-padded rescan staging at
-    n >= 2M) for the whole tune, NEXT TO the hash index + packed view.
-    At 10M x 96 that sums past one chip (measured OOM with int8 next to
-    the tries=4 packed view); trial big-n tiers one at a time, or tune
-    tiers on a subsample.
+    HBM budget note: by default every ``exact_tiers`` entry holds its
+    own corpus copy (lane-padded at n >= 2M for the two-phase engine)
+    for the whole tune, NEXT TO the hash index + packed view.  At
+    10M x 96 that sums past one chip (measured OOM with int8 next to the
+    tries=4 packed view).  ``sequential_tiers=True`` (round-5, VERDICT
+    item 9) trials the tiers one at a time — build, score, MEASURE
+    immediately, free — so only one tier's corpus is ever resident next
+    to the hash view; the winner's server is rebuilt by
+    ``TuneReport.server()`` (exact servers are always rebuilt there, so
+    nothing else changes).  Sequential exact tiers are measured even
+    when they miss the target (their QPS cannot be measured later), a
+    few extra timing rounds in exchange for 10M-scale tier comparisons
+    fitting HBM in one report.
     """
     from ..ops.pallas_exact import exact_search
     from .build import build
@@ -340,14 +348,29 @@ def tune(
                 return run_on(q_m_run)
 
             knobs = {} if tier is None else {"storage_dtype": tier}
-            if srv_e._twophase:
+            # label = the route a plain search actually takes (shared
+            # predicate incl. the device-platform check — a CPU-resident
+            # 2M corpus runs the rank/oracle path and must say so)
+            if srv_e.describe().get("exact_engine") == "twophase":
                 knobs["exact_engine"] = "twophase"
             t = Trial("exact", knobs,
                       score_full(run_exact_on, q_m_slices, q_m_run),
                       cost=float(n) / (1 if tier is None
                                        else (2 if tier == "bf16" else 4)))
             note(t)
-            runners.append((t, run_exact))
+            if sequential_tiers:
+                # measure NOW (warm from the recall pass), then free this
+                # tier's corpus before the next one builds — only one
+                # tier resident at a time (see the HBM budget note)
+                if measure:
+                    t.qps = _measure_qps(run_exact, batch)
+                    if verbose:
+                        print(f"  measured {t.engine} {t.knobs}: "
+                              f"{t.qps:.0f} QPS")
+                runners.append((t, None))
+                del srv_e, run_exact, run_exact_on
+            else:
+                runners.append((t, run_exact))
 
     for P in probe_grid:
         p_eff = P if P is not None else index.d_short + 1
@@ -405,6 +428,8 @@ def tune(
         # measure_all: time every trial, not just the qualifying ones —
         # the report then answers ANY target offline (full frontier)
         for t, run in (runners if measure_all else cands):
+            if run is None or t.qps is not None:
+                continue  # sequential tiers were measured (then freed)
             t.qps = _measure_qps(run, batch)
             if verbose:
                 print(f"  measured {t.engine} {t.knobs}: {t.qps:.0f} QPS")

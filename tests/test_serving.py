@@ -191,3 +191,153 @@ def test_int8_auto_resolves_exact_above_threshold(data):
     X, _ = data
     srv = Server.build(X, k=5, storage_dtype=jnp.int8, exact_max_n=100)
     assert srv.mode == "exact"
+
+
+class TestTwophaseRouting:
+    """Every branch of the two-phase exact router (round-4 VERDICT item
+    3): thresholds, escape hatch, k gate, budget fallback, kwarg
+    filtering, and the describe()/route agreement — exercised on the CPU
+    mesh via ``interpret=True`` (the identical kernels, off-TPU) with the
+    injectable ``twophase_min_n`` knob standing in for the measured 2M
+    crossover.  Role of ``/root/reference/compare_results.c`` as a gate
+    over what production actually runs."""
+
+    N, D, K = 1200, 24, 6  # d % 128 != 0 -> the lane-padded-corpus path
+
+    @pytest.fixture(scope="class")
+    def tp(self):
+        rng = np.random.default_rng(7)
+        X = jnp.asarray(rng.standard_normal((self.N, self.D)).astype(np.float32))
+        Y = jnp.asarray(rng.standard_normal((16, self.D)).astype(np.float32))
+        srv = Server.build(X, k=self.K, mode="exact", twophase_min_n=1000)
+        ti, _ = ann.brute_force_knn(X, Y, self.K)
+        return X, Y, srv, np.sort(np.asarray(ti), 1)
+
+    def _count_twophase(self, monkeypatch):
+        import approximatenn_tpu.ops.pallas_exact as px
+
+        calls = {"n": 0}
+        orig = px.exact_knn_twophase
+
+        def spy(*a, **kw):
+            calls["n"] += 1
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(px, "exact_knn_twophase", spy)
+        return calls
+
+    def test_staged_and_lane_padded(self, tp):
+        X, Y, srv, true_sorted = tp
+        assert srv._twophase
+        # round-5: ONE lane-padded corpus serves both engines — no
+        # duplicate rescan staging copy
+        assert srv.points.shape[1] == 128
+        assert srv._rescan is srv.points
+        assert srv.describe()["d"] == self.D  # logical dim reported
+
+    def test_route_taken_and_exact(self, tp, monkeypatch):
+        X, Y, srv, true_sorted = tp
+        calls = self._count_twophase(monkeypatch)
+        ids, dd = srv.search(Y, interpret=True)  # interpret: CPU route
+        assert calls["n"] == 1
+        np.testing.assert_array_equal(np.sort(np.asarray(ids), 1),
+                                      true_sorted)
+
+    def test_below_threshold_routes_rank(self, tp, monkeypatch):
+        X, Y, srv, true_sorted = tp
+        srv2 = Server.build(X, k=self.K, mode="exact",
+                            twophase_min_n=self.N + 1)
+        assert not srv2._twophase
+        assert srv2.describe()["exact_engine"] == "rank"
+        calls = self._count_twophase(monkeypatch)
+        ids, _ = srv2.search(Y)
+        assert calls["n"] == 0
+        np.testing.assert_array_equal(np.sort(np.asarray(ids), 1),
+                                      true_sorted)
+
+    def test_no_twophase_escape(self, tp, monkeypatch):
+        """The escape hatch must not leak into either engine's kwargs —
+        and two-phase-only knobs riding along must be stripped before the
+        rank dispatch (round-4 advisor TypeError finding)."""
+        X, Y, srv, true_sorted = tp
+        calls = self._count_twophase(monkeypatch)
+        ids, _ = srv.search(Y, no_twophase=True, seg=16, interpret=True)
+        assert calls["n"] == 0
+        np.testing.assert_array_equal(np.sort(np.asarray(ids), 1),
+                                      true_sorted)
+
+    def test_per_call_k_gate(self, tp, monkeypatch):
+        """k + 2 > 128 at call time falls back to the rank/XLA path
+        without the escape hatch leaking a TypeError."""
+        X, Y, srv, _ = tp
+        calls = self._count_twophase(monkeypatch)
+        ids, _ = srv.search(Y, k=130, no_twophase=False)
+        assert calls["n"] == 0
+        ti, _ = ann.brute_force_knn(X, Y, 130)
+        np.testing.assert_array_equal(np.sort(np.asarray(ids), 1),
+                                      np.sort(np.asarray(ti), 1))
+
+    def test_rank_only_knob_pins_rank(self, tp, monkeypatch):
+        """A rank-kernel-only knob (tile, merge, ...) pins the rank path
+        instead of TypeError-ing the two-phase engine."""
+        X, Y, srv, true_sorted = tp
+        calls = self._count_twophase(monkeypatch)
+        ids, _ = srv.search(Y, compute_dtype=jnp.float32)
+        assert calls["n"] == 0
+        np.testing.assert_array_equal(np.sort(np.asarray(ids), 1),
+                                      true_sorted)
+
+    def test_pad_budget_fallback(self, tp):
+        """A padded corpus over the HBM budget falls back to the rank
+        engine (unpadded corpus, no staging)."""
+        X, Y, srv, true_sorted = tp
+        srv2 = Server.build(X, k=self.K, mode="exact", twophase_min_n=1000,
+                            twophase_pad_budget_bytes=1000)
+        assert not srv2._twophase
+        assert srv2.points.shape[1] == self.D  # NOT padded
+        ids, _ = srv2.search(Y)
+        np.testing.assert_array_equal(np.sort(np.asarray(ids), 1),
+                                      true_sorted)
+
+    def test_describe_reports_actual_route(self, tp):
+        """On a CPU-resident corpus the plain-search route is the rank
+        path (device predicate), and describe must say so even though the
+        rescan buffer is staged (round-4 advisor label finding)."""
+        X, Y, srv, _ = tp
+        assert srv._twophase
+        assert srv.describe()["exact_engine"] == "rank"  # CPU resident
+        # but the interpret route (what the tests drive) IS two-phase
+        assert srv._route_twophase(srv.k, skw={"interpret": True})
+
+    def test_int8_twophase_route(self, tp, monkeypatch):
+        """The quantized tier routes two-phase with its scale intact."""
+        X, Y, srv, _ = tp
+        srv_q = Server.build(X, k=self.K, mode="exact",
+                             storage_dtype=jnp.int8, twophase_min_n=1000)
+        assert srv_q._twophase
+        calls = self._count_twophase(monkeypatch)
+        ids, _ = srv_q.search(Y, interpret=True)
+        assert calls["n"] == 1
+        # exact over the quantization grid
+        s = float(srv_q._search_kw["scale"])
+        Xd = jnp.asarray(
+            np.asarray(srv_q.points[:, : self.D], np.float32) * s
+        )
+        Yd = jnp.asarray(np.clip(np.round(np.asarray(Y) / s), -127, 127) * s)
+        ti, _ = ann.brute_force_knn(Xd, Yd, self.K)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(ids), 1), np.sort(np.asarray(ti), 1)
+        )
+
+    def test_fused_min_batch_injection(self, data):
+        """The packed fused-vs-XLA threshold is injectable (and reaches
+        packed_route)."""
+        from approximatenn_tpu.engine.serving import packed_route
+
+        assert packed_route(10_000, 8, True, min_batch=8) == "fused"
+        assert packed_route(10_000, 7, True, min_batch=8) == "xla"
+        assert packed_route(10_000, 8, False, min_batch=8) == "xla"
+        X, _ = data
+        srv = Server.build(X, k=5, mode="hash", layout="packed", tries=4,
+                           seed=2, fused_min_batch=8)
+        assert srv._fused_min_batch == 8

@@ -180,3 +180,22 @@ def test_ann_bench_tune_cli(capsys):
     assert rec["target_recall"] == 0.5
     assert rec["best"]["recall"] >= 0.5  # exact is always in the pool
     assert rec["trials"]
+
+
+def test_tune_sequential_tiers(corpus):
+    """sequential_tiers=True (round-5): tiers are trialed one at a time
+    (built, scored, freed) — report contents and winner semantics match
+    the all-resident mode; the winner's server still serves."""
+    X, Q = corpus
+    rep = tune(X, 5, queries=Q, target_recall=0.9, tries=4, seed=0,
+               probe_grid=(12,), window_grid=(8,), rerank_grid=(None,),
+               exact_tiers=(None, "bf16", "int8"),
+               sequential_tiers=True, measure=False)
+    ex = [t for t in rep.trials if t.engine == "exact"]
+    assert len(ex) == 3  # all three tiers trialed in ONE report
+    tiers = {t.knobs.get("storage_dtype") for t in ex}
+    assert tiers == {None, "bf16", "int8"}
+    assert ex[0].recall == 1.0  # full-precision tier is the oracle
+    srv = rep.server()
+    ids, _ = srv.search(Q)
+    assert np.asarray(ids).shape == (64, 5)
