@@ -165,18 +165,30 @@ def main() -> int:
         # the exact kernel's per-program workspace is its k-row output
         # (rule 16 concerns multi-GB intermediates, absent here).
         reps_e = max(100, args.reps)
-        best_s = float("inf")
-        rounds_e = 3
-        for _ in range(rounds_e):
+        # round-5 protocol (round-4 VERDICT weak 2: best-of-3 still swung
+        # -19% run-to-run at this tunnel-noise-dominated config): run
+        # pipelined rounds until the MEDIAN's standard error is < 3%
+        # (cv/sqrt(rounds), min 6, cap 24 — per-round CV itself sits
+        # near 0.2 on this tunnel and does not converge), headline =
+        # median of rounds, best-of kept as the secondary stat, CV
+        # recorded so BENCH_rN diffs self-explain residual swing.
+        round_times = []
+        cv = float("inf")
+        while len(round_times) < 24:
             t0 = time.perf_counter()
             outs = [ann.exact_search(Xd, Yd, k) for _ in range(reps_e)]
             drain(outs)
-            best_s = min(best_s, (time.perf_counter() - t0) / reps_e)
-        result["exact_qps"] = round(ycnt / best_s, 1)
-        # measurement protocol, recorded so BENCH_rN diffs self-explain:
-        # best of `exact_rounds` pipelined rounds x `exact_reps` batches
-        # (single rounds swing ±30% on this tunnel — BASELINE.md)
-        result["exact_rounds"] = rounds_e
+            round_times.append((time.perf_counter() - t0) / reps_e)
+            if len(round_times) >= 6:
+                arr = np.asarray(round_times)
+                cv = float(arr.std() / arr.mean())
+                if cv / np.sqrt(len(arr)) < 0.03:
+                    break
+        result["exact_qps"] = round(ycnt / float(np.median(round_times)), 1)
+        result["exact_qps_best"] = round(ycnt / min(round_times), 1)
+        result["exact_qps_cv"] = round(cv, 4)
+        result["exact_stat"] = "median_of_rounds"
+        result["exact_rounds"] = len(round_times)
         result["exact_reps"] = reps_e
         # precision tier of the headline: full-f32 HIGHEST matmuls (the
         # truly-exact default since round 3 — r02's f32 numbers ran
