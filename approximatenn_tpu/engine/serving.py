@@ -373,6 +373,79 @@ class Server:
 
         return search(self.index, queries=queries, **kw)
 
+    def add_points(self, new_points) -> "Server":
+        """Append rows with ids n..n+m-1, in place (returns self).
+
+        Exact mode (round-5 — the append previously forced manual
+        re-staging): rows are metric-prepared, tier-converted with the
+        SERVER'S existing quantization scale (int8 values outside the
+        original grid clip — re-quantize via a rebuild if the data
+        distribution moved), lane-padded to the stored width, and
+        concatenated; the two-phase rescan keeps serving from the same
+        (grown) buffer.  Hash mode delegates to
+        :meth:`~..index.ANNIndex.add_points` (frozen transforms,
+        bucket append, reverse-edge repair) and re-packs the packed
+        view at its current window/width."""
+        new_points = jnp.asarray(new_points)
+        if self.mode == "exact":
+            if self.metric != "l2":
+                from ..data.preprocess import prepare_points
+
+                new_points = prepare_points(
+                    new_points.astype(jnp.float32), self.metric
+                )
+            if self.points.dtype == jnp.int8:
+                scale = self._search_kw["scale"]
+                new_points = jnp.clip(
+                    jnp.round(new_points.astype(jnp.float32) / scale),
+                    -127, 127,
+                ).astype(jnp.int8)
+            else:
+                new_points = new_points.astype(self.points.dtype)
+            qpad = self.points.shape[1] - new_points.shape[1]
+            if qpad > 0:
+                new_points = jnp.pad(new_points, [(0, 0), (0, qpad)])
+            self.points = jnp.concatenate([self.points, new_points])
+            if self._twophase:
+                self._rescan = self.points
+            return self
+        self.index = self.index.add_points(new_points)
+        if self.packed is not None:
+            self.packed = self.index.packed(
+                window=self.packed.window,
+                dtype=self.packed.point_rows.dtype,
+            )
+        return self
+
+    def remove_points(self, ids) -> "Server":
+        """Remove rows by id, in place (returns self).
+
+        Exact mode: the corpus is compacted (one gather copy; remaining
+        rows KEEP their original relative order but ids above removed
+        rows shift down — the exact engine has no tombstones, its ids
+        are row positions).  Hash mode delegates to the index's
+        tombstoning ``remove_points`` (ids stay stable) and re-packs."""
+        import numpy as np
+
+        if self.mode == "exact":
+            # host-side unique: duplicate ids would make the static
+            # nonzero size overcount and silently duplicate row 0
+            uids = np.unique(np.asarray(ids).astype(np.int64))
+            n = self.points.shape[0]
+            keep = jnp.ones((n,), bool).at[jnp.asarray(uids)].set(False)
+            (kept,) = jnp.nonzero(keep, size=int(n - len(uids)))
+            self.points = jnp.take(self.points, kept, axis=0)
+            if self._twophase:
+                self._rescan = self.points
+            return self
+        self.index = self.index.remove_points(ids)
+        if self.packed is not None:
+            self.packed = self.index.packed(
+                window=self.packed.window,
+                dtype=self.packed.point_rows.dtype,
+            )
+        return self
+
     def describe(self) -> dict:
         d = {
             "mode": self.mode,

@@ -275,17 +275,6 @@ def tune(
     # Server.search so the measured path IS the production path (on TPU a
     # >=512-query batch rides the fused probe-window kernel, smaller
     # batches and CPU the XLA packed path — same routing either way)
-    index, _, _ = build(points, k, metric=metric, seed=seed,
-                        store_points=True, **build_kw)
-    # packed_dtype: storage width of the packed rows (bf16 halves, int8
-    # quarters them — the winning tier at 10M+, see BASELINE.md)
-    packed = index.packed(window=max(window_grid), dtype=packed_dtype)
-    sw = packed.super_width
-    srv_packed = Server(points=points, k=k, mode="hash", metric=metric,
-                        index=index, packed=packed)
-    srv_table = Server(points=points, k=k, mode="hash", metric=metric,
-                       index=index)
-
     trials: list[Trial] = []
 
     def note(t: Trial):
@@ -295,20 +284,6 @@ def tune(
                   f"cost={t.cost:.0f}")
 
     runners: list[tuple[Trial, Any]] = []  # (trial, replayable thunk)
-
-    # engine route the packed trials will take at this batch, recorded on
-    # the trial so the report says WHAT was measured — THE routing
-    # predicate, imported from serving so the label cannot diverge from
-    # what Server.search actually runs.  on_accel derives from the SAME
-    # array Server.search inspects (packed.point_rows), so the label
-    # cannot diverge even if corpus and packed view live on different
-    # backends.
-    from .serving import packed_route
-
-    on_accel = all(
-        d.platform != "cpu" for d in srv_packed.packed.point_rows.devices()
-    )
-    packed_path = packed_route(n, batch, on_accel)
 
     def score_full(run_on, slices, q_default) -> float:
         """Recall over the full m-row sample.  batch < m: one
@@ -325,7 +300,7 @@ def tune(
             parts.append(np.asarray(ids)[:take])
         return recall_at_k(true_ids, np.concatenate(parts), k)
 
-    if include_exact and k <= 128:
+    def run_exact_trials():
         # one trial per exact storage tier (round-4: bf16/int8 are the
         # winning tiers at 10M+, BASELINE.md — the old space could not
         # express them).  Trials dispatch through Server.search so the
@@ -371,6 +346,43 @@ def tune(
                 del srv_e, run_exact, run_exact_on
             else:
                 runners.append((t, run_exact))
+
+    if include_exact and k <= 128 and sequential_tiers:
+        # sequential mode runs the tiers BEFORE the hash view exists:
+        # the 10M OOM class is one tier's (lane-padded) corpus copy
+        # NEXT TO corpus + tables + packed rows — measured on hardware
+        # (/tmp/r5_10m_tune{2,3}.log: the f32 tier + tries>=3 int8
+        # packed view exhausts a 16 GB chip); trialing tiers first
+        # bounds peak HBM at max(one tier + corpus, hash view + corpus)
+        run_exact_trials()
+
+    index, _, _ = build(points, k, metric=metric, seed=seed,
+                        store_points=True, **build_kw)
+    # packed_dtype: storage width of the packed rows (bf16 halves, int8
+    # quarters them — the winning tier at 10M+, see BASELINE.md)
+    packed = index.packed(window=max(window_grid), dtype=packed_dtype)
+    sw = packed.super_width
+    srv_packed = Server(points=points, k=k, mode="hash", metric=metric,
+                        index=index, packed=packed)
+    srv_table = Server(points=points, k=k, mode="hash", metric=metric,
+                       index=index)
+
+    # engine route the packed trials will take at this batch, recorded on
+    # the trial so the report says WHAT was measured — THE routing
+    # predicate, imported from serving so the label cannot diverge from
+    # what Server.search actually runs.  on_accel derives from the SAME
+    # array Server.search inspects (packed.point_rows), so the label
+    # cannot diverge even if corpus and packed view live on different
+    # backends.
+    from .serving import packed_route
+
+    on_accel = all(
+        d.platform != "cpu" for d in srv_packed.packed.point_rows.devices()
+    )
+    packed_path = packed_route(n, batch, on_accel)
+
+    if include_exact and k <= 128 and not sequential_tiers:
+        run_exact_trials()
 
     for P in probe_grid:
         p_eff = P if P is not None else index.d_short + 1

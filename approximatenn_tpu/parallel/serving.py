@@ -36,11 +36,9 @@ with ``interpret=True`` driving the identical Pallas kernels off-TPU.
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass, field
 from typing import Any
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

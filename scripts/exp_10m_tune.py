@@ -39,6 +39,10 @@ def main():
                          "int8); HBM budget: each tier holds its corpus "
                          "copy (+ rescan staging) for the whole tune")
     ap.add_argument("--window-grid", type=int, nargs="+", default=[8, 32])
+    ap.add_argument("--sequential-tiers", action="store_true",
+                    help="trial exact tiers one at a time (build, "
+                    "measure, free) so f32+bf16+int8 fit HBM together "
+                    "in one report (round-5, tune(sequential_tiers=True))")
     args = ap.parse_args()
 
     import jax
@@ -66,7 +70,8 @@ def main():
         rerank_grid=(None, 50), packed_dtype=pdt,
         exact_tiers=tuple(None if t == "f32" else t
                           for t in args.exact_tiers),
-        measure_all=args.measure_all, verbose=True,
+        measure_all=args.measure_all,
+        sequential_tiers=args.sequential_tiers, verbose=True,
     )
     print(json.dumps({"stage": "tune",
                       "s": round(time.perf_counter() - t0, 1)}), flush=True)
