@@ -252,6 +252,125 @@ class ShardedServer:
         return search_sharded(self.sidx, None, queries, mesh=self.mesh,
                               **skw)
 
+    # -------------------------------------------------------- persistence
+    def save(self, path) -> None:
+        """Persist the serving state (round-5; the pod-scale counterpart
+        of ``ANNIndex.save`` — without it every serving restart rebuilds
+        or re-packs).  Hash mode delegates to the sharded-index/packed
+        checkpoints; exact mode saves the (possibly lane-padded) sharded
+        corpus + scale.  Orbax when available (multi-host capable), npz
+        otherwise."""
+        import json
+        from pathlib import Path
+
+        from .checkpoint import save_sharded_index, save_sharded_packed
+
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        meta = {
+            "mode": self.mode, "k": self.k, "metric": self.metric,
+            "n": self.n, "d_logical": self.d_logical,
+            "twophase": self._twophase,
+            "fused_min_batch": self._fused_min_batch,
+            "search_kw": {k_: v for k_, v in self._search_kw.items()
+                          if not hasattr(v, "shape")},
+        }
+        if self.mode == "exact":
+            import jax
+
+            from ..index import _stash
+
+            meta["points_shape"] = list(self.points.shape)
+            meta["points_dtype"] = str(jnp.dtype(self.points.dtype))
+            meta["has_scale"] = self.scale is not None
+            arrays = {"points": self.points}
+            if self.scale is not None:
+                arrays["scale"] = self.scale
+            try:
+                import orbax.checkpoint as ocp
+
+                ckptr = ocp.StandardCheckpointer()
+                ckptr.save((path / "arrays").absolute(), arrays,
+                           force=True)
+                ckptr.wait_until_finished()
+                meta["format"] = "orbax"
+            except ImportError:
+                if jax.process_count() > 1:
+                    raise RuntimeError(
+                        "multi-host checkpointing requires orbax"
+                    )
+                out = {}
+                for f, v in arrays.items():
+                    _stash(out, f, v)
+                np.savez(path / "arrays.npz", **out)
+                meta["format"] = "npz"
+        else:
+            save_sharded_index(self.sidx, path / "index")
+            meta["has_packed"] = self.spk is not None
+            if self.spk is not None:
+                save_sharded_packed(self.spk, path / "packed")
+        (path / "server.json").write_text(json.dumps(meta))
+
+    @classmethod
+    def load(cls, path, *, mesh) -> "ShardedServer":
+        """Restore onto ``mesh`` (same shard count as at save time),
+        ready to serve."""
+        import json
+        from pathlib import Path
+
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P_
+
+        from .checkpoint import load_sharded_index, load_sharded_packed
+
+        path = Path(path)
+        meta = json.loads((path / "server.json").read_text())
+        srv = cls(mesh=mesh, k=meta["k"], mode=meta["mode"],
+                  metric=meta["metric"], n=meta["n"],
+                  d_logical=meta["d_logical"],
+                  _twophase=meta["twophase"],
+                  _fused_min_batch=meta["fused_min_batch"],
+                  _search_kw=dict(meta.get("search_kw") or {}))
+        if srv.mode == "exact":
+            from ..index import _unstash
+
+            specs = {"points": P_(AXIS, None), "scale": P_()}
+            fields = ["points"] + (["scale"] if meta["has_scale"] else [])
+            if meta["format"] == "orbax":
+                import orbax.checkpoint as ocp
+
+                target = {
+                    "points": jax.ShapeDtypeStruct(
+                        tuple(meta["points_shape"]),
+                        jnp.dtype(meta["points_dtype"]),
+                        sharding=NamedSharding(mesh, specs["points"]),
+                    ),
+                }
+                if meta["has_scale"]:
+                    target["scale"] = jax.ShapeDtypeStruct(
+                        (), jnp.float32,
+                        sharding=NamedSharding(mesh, specs["scale"]),
+                    )
+                arrays = ocp.StandardCheckpointer().restore(
+                    (path / "arrays").absolute(), target
+                )
+            else:
+                z = np.load(path / "arrays.npz")
+                arrays = {
+                    f: jax.device_put(_unstash(z, f),
+                                      NamedSharding(mesh, specs[f]))
+                    for f in fields
+                }
+            srv.points = arrays["points"]
+            if meta["has_scale"]:
+                srv.scale = arrays["scale"]
+                srv._search_kw["scale"] = srv.scale
+            return srv
+        srv.sidx = load_sharded_index(path / "index", mesh)
+        if meta["has_packed"]:
+            srv.spk = load_sharded_packed(path / "packed", mesh)
+        return srv
+
     # ---------------------------------------------------------- describe
     def describe(self) -> dict:
         d = {

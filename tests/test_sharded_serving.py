@@ -167,6 +167,35 @@ class TestShardedServerHash:
                                 storage_dtype=jnp.int8)
 
 
+class TestShardedServerCheckpoint:
+    def test_exact_roundtrip(self, mesh8, data, tmp_path):
+        X, Y = data
+        srv = ShardedServer.build(X, k=5, mesh=mesh8,
+                                  storage_dtype=jnp.int8,
+                                  twophase_min_n=100)
+        a_ids, a_dd = srv.search(Y)
+        srv.save(tmp_path / "srv")
+        srv2 = ShardedServer.load(tmp_path / "srv", mesh=mesh8)
+        assert srv2.mode == "exact" and srv2._twophase
+        assert srv2.points.dtype == jnp.int8
+        assert srv2.describe() == srv.describe()
+        b_ids, b_dd = srv2.search(Y)
+        np.testing.assert_array_equal(np.asarray(a_ids), np.asarray(b_ids))
+        np.testing.assert_allclose(np.asarray(a_dd), np.asarray(b_dd),
+                                   rtol=1e-5)
+
+    def test_hash_roundtrip(self, mesh8, data, tmp_path):
+        X, Y = data
+        srv = ShardedServer.build(X, k=5, mesh=mesh8, mode="hash",
+                                  tries=3, seed=2, capacity=48)
+        a_ids, _ = srv.search(Y)
+        srv.save(tmp_path / "hsrv")
+        srv2 = ShardedServer.load(tmp_path / "hsrv", mesh=mesh8)
+        assert srv2.describe() == srv.describe()
+        b_ids, _ = srv2.search(Y)
+        np.testing.assert_array_equal(np.asarray(a_ids), np.asarray(b_ids))
+
+
 class TestTuneSharded:
     @pytest.mark.slow
     def test_tune_on_cpu_mesh(self, mesh8):
