@@ -56,32 +56,29 @@ EXACT_MAX_N_DEFAULT = 8_000_000
 # clustered best case pass no_twophase=True per call.
 TWOPHASE_MIN_N = 500_000
 
-# Packed-serving engine routing: at and above this many queries per call
-# the fused probe-window Pallas kernel wins at 1M points (measured 1.6-
-# 2.6x at batch=1000, loses at batch=100 — fixed grid-step costs
-# dominate small batches; BASELINE.md round-2 A/B).  The crossover is
-# SCALE-DEPENDENT: XLA's per-row gather degrades with source size
-# (CLAUDE.md rule 9), so by 10M the fused DMA path wins at EVERY batch
-# size measured, including 32 (round-3 A/B, batch in {32,100,512,1000} x
-# windows {32,96} x P {18,48}: fused 1.1-8.5x packed-xla everywhere).
-# fused_min_batch() anchors both measured scales and interpolates the
-# threshold inversely with n between them.
-FUSED_MIN_BATCH = 512
-_FUSED_ALWAYS_N = 8_000_000  # >= this, route fused at any batch (10M-measured)
+# Packed-serving engine routing.  HISTORY: the round-2 kernel lost to
+# the XLA gather below batch ~512 at 1M (fixed grid-step costs), so
+# rounds 2-4 interpolated a batch threshold inversely with n.  Round-5
+# re-measured the full (n, batch) grid with the CURRENT kernel (bq=32
+# default + the round 2-4 step-cost work): the fused DMA path now wins
+# at EVERY point — 100k/1M/2M x batch {4..1000}: 1.1x at batch=4, 1.4x
+# at 16, 1.7-2.1x at 32-64, 2.9-4.9x at >= 128 (/tmp/r5_{tiny,100k,1m,
+# 2m}_ab.log, 2026-08-21; 10M was already always-fused in round 3).
+# The crossover is extinct; the default threshold is 0 (always fused on
+# accelerators).  FUSED_MIN_BATCH stays as the injectable override's
+# historical anchor for callers that want to force the XLA path on
+# workloads resembling the old regime.
+FUSED_MIN_BATCH = 0
 
 
 def fused_min_batch(n: int) -> int:
     """Minimum batch size at which packed serving routes to the fused
-    kernel for an n-point view.  Measured anchors: 512 at <= 1M points;
-    always fused (0) from 8M — at 10M the fused kernel won at every
-    batch down to 32.  Between the anchors the threshold scales 1/n
-    (the XLA gather's per-row cost grows with source size while the
-    fused DMA's does not): 256 at 2M, 128 at 4M, 64 just under 8M."""
-    if n >= _FUSED_ALWAYS_N:
-        return 0
-    if n <= 1_000_000:
-        return FUSED_MIN_BATCH
-    return (FUSED_MIN_BATCH * 1_000_000) // n
+    kernel for an n-point view: 0 at every n — the round-5 re-measure
+    found the fused kernel faster at every (n, batch) down to batch=4
+    (see the routing note above).  Kept as a function (and as Server's
+    ``fused_min_batch`` override knob) so a future regime shift is a
+    one-line, test-covered change."""
+    return FUSED_MIN_BATCH
 
 
 def packed_route(n: int, batch: int, on_accelerator: bool,

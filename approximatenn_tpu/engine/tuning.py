@@ -190,8 +190,9 @@ def tune(
     ``batch`` is the PRODUCTION serving batch size: every trial dispatches
     through ``Server.search`` with exactly that many query rows (the
     sample is tiled/truncated as needed), so the engine routing the tuner
-    measures — fused kernel at >= ``serving.fused_min_batch(n)`` rows on
-    TPU, the XLA packed path below — is the routing production will hit.
+    measures — the fused kernel on accelerators (round-5: it wins at
+    every (n, batch)), the XLA packed path off them — is the routing
+    production will hit.
     Default: the query-sample size, i.e. "I will serve batches shaped
     like my sample".  Tune at the batch you serve at; the winner can
     legitimately differ across batch sizes (measured at 1M and 10M,

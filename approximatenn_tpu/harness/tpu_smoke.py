@@ -191,6 +191,27 @@ def main(argv=None) -> int:
     except Exception as e:
         gate("probe_fused_envelope", False, error=repr(e)[:300])
 
+    # --- ShardedServer on a 1-chip mesh (round-5): shard_map wrapping
+    # the Pallas engines on REAL hardware — the CPU-mesh tests run them
+    # in interpret mode, so this is the only gate on the combination ---
+    try:
+        from ..parallel.serving import ShardedServer
+        from ..parallel.sharded import make_mesh
+
+        t0 = time.perf_counter()
+        mesh1 = make_mesh(1)
+        ssrv = ShardedServer.build(X, k, mesh=mesh1, mode="exact",
+                                   twophase_min_n=10_000)
+        sids, _ = ssrv.search(Y[:200])
+        fence([sids])
+        rec = recall_at_k(t_ids[:200], np.asarray(sids), k)
+        eng = ssrv.describe()["exact_engine"]
+        gate("sharded_server_1chip", rec >= 1.0 and eng == "twophase",
+             recall=round(rec, 5), engine=eng,
+             secs=round(time.perf_counter() - t0, 2))
+    except Exception as e:
+        gate("sharded_server_1chip", False, error=repr(e)[:300])
+
     # --- TPU-vs-CPU parity with the enforced band ----------------------
     # (compare_results exits 2 past --max-diff-frac; the round-3 recorded
     # band at the gate config is ZERO diffs — see baselines/parity_tpu

@@ -127,25 +127,21 @@ def test_hash_packed_layout(data):
     assert hits / (32 * 5) > 0.5
 
 
-def test_fused_min_batch_scale_aware():
-    """Packed-serving routing threshold tracks corpus size (round-3 10M
-    A/B: fused wins at every batch at 10M, while at 1M it loses below
-    ~512 — XLA's per-row gather degrades with source size)."""
+def test_fused_min_batch_always_fused():
+    """Round-5 re-measure: the fused kernel wins at EVERY (n, batch)
+    with the current kernel (down to batch=4 at 1M), so the default
+    packed route is always-fused on accelerators; the threshold stays
+    injectable for forced-XLA workloads."""
     from approximatenn_tpu.engine.serving import (
-        FUSED_MIN_BATCH,
         fused_min_batch,
+        packed_route,
     )
 
-    assert fused_min_batch(10_000) == FUSED_MIN_BATCH == 512
-    assert fused_min_batch(1_000_000) == 512
-    assert fused_min_batch(2_000_000) == 256
-    assert fused_min_batch(4_000_000) == 128
-    assert fused_min_batch(8_000_000) == 0  # measured: always fused
-    assert fused_min_batch(10_000_000) == 0
-    # monotone non-increasing in n
-    vals = [fused_min_batch(n) for n in
-            (10**5, 10**6, 2 * 10**6, 5 * 10**6, 10**7, 10**8)]
-    assert vals == sorted(vals, reverse=True)
+    for n in (10**5, 10**6, 2 * 10**6, 10**7, 10**8):
+        assert fused_min_batch(n) == 0
+    assert packed_route(10**6, 4, True) == "fused"
+    assert packed_route(10**6, 4, False) == "xla"  # CPU stays XLA
+    assert packed_route(10**6, 4, True, min_batch=8) == "xla"  # override
 
 
 @pytest.mark.slow
